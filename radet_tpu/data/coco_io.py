@@ -1,0 +1,43 @@
+"""Minimal COCO-format annotation index (pycocotools is not a dependency).
+
+Provides just what the BOP data path needs: image records, per-image
+annotation lookup, category id <-> contiguous label mapping with optional
+class-name filtering (the reference relies on pycocotools' COCO class for
+this; see /root/reference/radet/datasets/coco.py:30-77).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Dict, List, Optional, Sequence
+
+
+class CocoIndex:
+    def __init__(self, ann_file: str):
+        with open(ann_file) as f:
+            data = json.load(f)
+        self.dataset = data
+        self.imgs: Dict[int, dict] = {img["id"]: img for img in data.get("images", [])}
+        self.cats: Dict[int, dict] = {c["id"]: c for c in data.get("categories", [])}
+        self.img_to_anns: Dict[int, List[dict]] = {img_id: [] for img_id in self.imgs}
+        for ann in data.get("annotations", []):
+            self.img_to_anns.setdefault(ann["image_id"], []).append(ann)
+
+    # -- pycocotools-compatible helpers ----------------------------------
+    def get_img_ids(self) -> List[int]:
+        return list(self.imgs.keys())
+
+    def get_cat_ids(self, cat_names: Optional[Sequence[str]] = None) -> List[int]:
+        if cat_names is None:
+            return sorted(self.cats.keys())
+        by_name = {c["name"]: c["id"] for c in self.cats.values()}
+        missing = [n for n in cat_names if n not in by_name]
+        if missing:
+            raise KeyError(f"classes not found in annotations: {missing}")
+        return [by_name[n] for n in cat_names]
+
+    def load_img(self, img_id: int) -> dict:
+        return self.imgs[img_id]
+
+    def get_anns(self, img_id: int) -> List[dict]:
+        return self.img_to_anns.get(img_id, [])

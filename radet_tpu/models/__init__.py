@@ -1,0 +1,15 @@
+from .builder import build_detector
+from .detector import RADet, flatten_head_outputs, preprocess_images
+from .fpn import FPN
+from .radet_head import RADetHead
+from .resnet import ResNet
+
+__all__ = [
+    "build_detector",
+    "RADet",
+    "flatten_head_outputs",
+    "preprocess_images",
+    "FPN",
+    "RADetHead",
+    "ResNet",
+]

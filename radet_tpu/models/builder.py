@@ -1,0 +1,42 @@
+"""Factory translating reference-style model config dicts into flax modules.
+
+Keeps the reference config surface (configs/bop/r50_ycbv_pbr.py:11-57) —
+``model = dict(type='RADet', backbone=..., neck=..., bbox_head=...)`` — but
+builds plain dataclass-configured modules instead of going through a global
+string registry.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax.numpy as jnp
+
+from .detector import RADet
+
+_DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
+
+
+def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
+    cfg = dict(model_cfg)
+    assert cfg.get("type", "RADet") == "RADet", f"unknown detector type {cfg.get('type')}"
+    backbone = dict(cfg.get("backbone", {}))
+    neck = dict(cfg.get("neck", {}))
+    head = dict(cfg.get("bbox_head", {}))
+    if dtype is None:
+        dtype = _DTYPES.get(cfg.get("dtype", "float32"), jnp.float32)
+    elif isinstance(dtype, str):
+        dtype = _DTYPES[dtype]
+    return RADet(
+        num_classes=head["num_classes"],
+        depth=backbone.get("depth", 50),
+        out_indices=tuple(backbone.get("out_indices", (0, 1, 2, 3))),
+        frozen_stages=backbone.get("frozen_stages", 1),
+        norm_eval=backbone.get("norm_eval", True),
+        fpn_out_channels=neck.get("out_channels", 256),
+        fpn_num_outs=neck.get("num_outs", 5),
+        fpn_start_level=neck.get("start_level", 1),
+        stacked_convs=head.get("stacked_convs", 4),
+        feat_channels=head.get("feat_channels", 256),
+        dtype=dtype,
+    )

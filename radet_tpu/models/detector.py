@@ -1,0 +1,93 @@
+"""RADet single-stage detector module (backbone -> FPN -> head).
+
+Mirrors the reference composition (/root/reference/radet/models/detectors/
+single_stage.py:24-57, radet.py:6-33) as one flax module. The model consumes
+already-normalized float NHWC images; uint8->float normalization happens in
+the jitted step (`preprocess_images`) so host->device transfers stay uint8.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .fpn import FPN
+from .radet_head import RADetHead
+from .resnet import ResNet
+
+Dtype = Any
+
+
+def preprocess_images(images_u8, mean, std, dtype=jnp.float32):
+    """uint8 RGB NHWC -> normalized float NHWC (device-side).
+
+    mean/std follow the reference img_norm_cfg
+    (/root/reference/configs/base/datasets/bop_detection.py:3-4).
+    """
+    x = images_u8.astype(jnp.float32)
+    x = (x - jnp.asarray(mean, jnp.float32)) / jnp.asarray(std, jnp.float32)
+    return x.astype(dtype)
+
+
+class RADet(nn.Module):
+    num_classes: int
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    norm_eval: bool = True
+    fpn_out_channels: int = 256
+    fpn_num_outs: int = 5
+    fpn_start_level: int = 1
+    stacked_convs: int = 4
+    feat_channels: int = 256
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet(
+            depth=self.depth,
+            out_indices=self.out_indices,
+            frozen_stages=self.frozen_stages,
+            norm_eval=self.norm_eval,
+            dtype=self.dtype,
+            name="backbone",
+        )
+        self.neck = FPN(
+            out_channels=self.fpn_out_channels,
+            num_outs=self.fpn_num_outs,
+            start_level=self.fpn_start_level,
+            dtype=self.dtype,
+            name="neck",
+        )
+        self.bbox_head = RADetHead(
+            num_classes=self.num_classes,
+            in_channels=self.fpn_out_channels,
+            feat_channels=self.feat_channels,
+            stacked_convs=self.stacked_convs,
+            num_levels=self.fpn_num_outs,
+            dtype=self.dtype,
+            name="bbox_head",
+        )
+
+    def __call__(self, images, train: bool = False):
+        feats = self.backbone(images, train=train)
+        pyramids = self.neck(feats)
+        return self.bbox_head(pyramids)
+
+
+def flatten_head_outputs(cls_list, reg_list, iou_list):
+    """Per-level NHWC outputs -> anchor-ordered flat tensors.
+
+    NHWC reshape (B, H*W, C) concatenated over levels matches the anchor
+    ordering of `core.anchors.generate_anchors` (levels in stride order,
+    row-major within level) and the reference's permute(0,2,3,1).reshape
+    flattening (radet_head.py:222-236).
+
+    Returns (cls (B, N, C), reg (B, N, 4), iou (B, N)).
+    """
+    b = cls_list[0].shape[0]
+    cls = jnp.concatenate([c.reshape(b, -1, c.shape[-1]) for c in cls_list], axis=1)
+    reg = jnp.concatenate([r.reshape(b, -1, 4) for r in reg_list], axis=1)
+    iou = jnp.concatenate([i.reshape(b, -1) for i in iou_list], axis=1)
+    return cls, reg, iou

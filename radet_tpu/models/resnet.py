@@ -1,0 +1,178 @@
+"""ResNet backbone (flax.linen, NHWC, bf16-friendly).
+
+Capability-parity with the reference mmcv ResNet used by RADet
+(/root/reference/radet/models/backbones/resnet.py; config
+configs/bop/r50_ycbv_pbr.py:14-22): depth-50 bottleneck net, ``pytorch`` style
+(stride on the 3x3 conv), ``norm_eval=True`` (BatchNorm always uses running
+statistics — the reference never updates BN during detector training),
+``frozen_stages=1`` (stem + layer1 excluded from training; realized here as a
+``stop_gradient`` on the stage-1 output plus an optimizer mask built by
+``radet_tpu.engine.optim.frozen_param_mask``).
+
+Padding is explicit-numeric (not SAME) so activations match torch's
+convolution arithmetic exactly — required for imported-checkpoint parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# layer counts per depth
+ARCH = {
+    18: ("basic", (2, 2, 2, 2)),
+    34: ("basic", (3, 4, 6, 3)),
+    50: ("bottleneck", (3, 4, 6, 3)),
+    101: ("bottleneck", (3, 4, 23, 3)),
+    152: ("bottleneck", (3, 8, 36, 3)),
+}
+
+Dtype = Any
+
+
+class FrozenAwareBN(nn.Module):
+    """BatchNorm that matches mmcv ``norm_eval`` semantics.
+
+    With ``norm_eval=True`` (the RADet default) running statistics are used in
+    both train and eval, and never updated — i.e. a constant affine transform
+    whose scale/bias remain trainable.
+    """
+
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        use_ra = (not train) or self.norm_eval
+        return nn.BatchNorm(
+            use_running_average=use_ra,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+    pad = (kernel - 1) // 2
+    return nn.Conv(
+        features,
+        (kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        use_bias=False,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        name=name,
+    )
+
+
+class Bottleneck(nn.Module):
+    planes: int  # bottleneck width; output channels = planes * 4
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = _conv(self.planes, 1, 1, name="conv1", dtype=self.dtype)(x)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
+        out = nn.relu(out)
+        # 'pytorch' style: stride lives on the 3x3 conv
+        out = _conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
+        out = nn.relu(out)
+        out = _conv(self.planes * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
+        if self.has_downsample:
+            identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
+class BasicBlock(nn.Module):
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        out = _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
+        if self.has_downsample:
+            identity = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    """ResNet returning the feature maps selected by ``out_indices``.
+
+    out_indices=(0,1,2,3) -> (C2, C3, C4, C5) at strides (4, 8, 16, 32).
+    """
+
+    depth: int = 50
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    norm_eval: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        block_kind, stage_blocks = ARCH[self.depth]
+        block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
+        expansion = 4 if block_kind == "bottleneck" else 1
+
+        x = x.astype(self.dtype)
+        x = nn.Conv(
+            64,
+            (7, 7),
+            strides=(2, 2),
+            padding=((3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+            name="conv1",
+        )(x)
+        x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
+        x = nn.relu(x)
+        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf so the pad
+        # never wins the max.
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        if self.frozen_stages >= 0 and train:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        channels = 64
+        for stage_idx, num_blocks in enumerate(stage_blocks):
+            planes = 64 * (2 ** stage_idx)
+            stride = 1 if stage_idx == 0 else 2
+            for b in range(num_blocks):
+                x = block_cls(
+                    planes=planes,
+                    stride=stride if b == 0 else 1,
+                    has_downsample=(b == 0 and (stride != 1 or channels != planes * expansion)),
+                    dtype=self.dtype,
+                    norm_eval=self.norm_eval,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x, train)
+                channels = planes * expansion
+            if self.frozen_stages >= stage_idx + 1 and train:
+                x = jax.lax.stop_gradient(x)
+            if stage_idx in self.out_indices:
+                outs.append(x)
+        return tuple(outs)

@@ -1,0 +1,56 @@
+import os
+
+import pytest
+
+from radet_tpu.utils import Config, apply_overrides, load_config, merge_dict
+
+
+def test_merge_dict_nested():
+    base = {"a": {"x": 1, "y": 2}, "b": 3}
+    child = {"a": {"y": 5}, "c": 7}
+    out = merge_dict(base, child)
+    assert out == {"a": {"x": 1, "y": 5}, "b": 3, "c": 7}
+    # base untouched
+    assert base["a"]["y"] == 2
+
+
+def test_merge_dict_delete():
+    base = {"a": {"x": 1, "y": 2}}
+    child = {"a": {"_delete_": True, "z": 9}}
+    assert merge_dict(base, child) == {"a": {"z": 9}}
+
+
+def test_load_config_base_inheritance(tmp_path):
+    (tmp_path / "base.py").write_text("opt = dict(lr=0.1, wd=0.0)\nname='base'\n")
+    (tmp_path / "child.py").write_text("_base_ = ['base.py']\nopt = dict(lr=0.5)\n")
+    cfg = load_config(str(tmp_path / "child.py"))
+    assert cfg["opt"] == {"lr": 0.5, "wd": 0.0}
+    assert cfg["name"] == "base"
+
+
+def test_apply_overrides():
+    cfg = {"model": {"head": {"num_classes": 21}}, "lr": 0.1}
+    out = apply_overrides(cfg, ["model.head.num_classes=8", "lr=0.2", "tag=abc"])
+    assert out["model"]["head"]["num_classes"] == 8
+    assert out["lr"] == 0.2
+    assert out["tag"] == "abc"
+    assert cfg["model"]["head"]["num_classes"] == 21  # original untouched
+
+
+def test_config_attribute_access(tmp_path):
+    (tmp_path / "c.py").write_text("model = dict(bbox_head=dict(num_classes=21))\n")
+    cfg = Config.fromfile(str(tmp_path / "c.py"))
+    assert cfg.model.bbox_head.num_classes == 21
+    assert cfg.get("missing", 5) == 5
+    with pytest.raises(AttributeError):
+        _ = cfg.nonexistent
+
+
+def test_repo_configs_load():
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    path = os.path.join(here, "configs", "bop", "r50_ycbv_pbr.py")
+    if not os.path.exists(path):
+        pytest.skip("configs not written yet")
+    cfg = Config.fromfile(path)
+    assert cfg.model.bbox_head.num_classes == 21
+    assert cfg.test_cfg.nms.type == "vote"

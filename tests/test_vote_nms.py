@@ -1,0 +1,101 @@
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radet_tpu.ops import vote_nms_device, vote_nms_numpy
+
+
+def _random_dets(rng, n=60, num_labels=3):
+    # clusters of boxes around a few ground positions
+    centers = rng.uniform(50, 400, (8, 2))
+    idx = rng.randint(0, 8, n)
+    cx = centers[idx, 0] + rng.randn(n) * 3
+    cy = centers[idx, 1] + rng.randn(n) * 3
+    w = rng.uniform(40, 60, n)
+    h = rng.uniform(40, 60, n)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1).astype(np.float32)
+    cluster = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    vote = rng.uniform(0.1, 1.0, n).astype(np.float32)
+    labels = (idx % num_labels).astype(np.int32)
+    return boxes, cluster, vote, labels
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+@pytest.mark.parametrize("iou_enable", [False, True])
+def test_device_matches_oracle(rng, global_mode, iou_enable):
+    boxes, cluster, vote, labels = _random_dets(rng)
+    ob, ol, osc = vote_nms_numpy(
+        boxes, cluster, vote, labels, 0.5, iou_enable, 0.025, global_mode
+    )
+    db, dl, dsc, dv = vote_nms_device(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.ones(len(boxes), bool),
+        iou_threshold=0.5,
+        max_out=50,
+        iou_enable=iou_enable,
+        sigma=0.025,
+        global_mode=global_mode,
+    )
+    db, dl, dsc, dv = map(np.asarray, (db, dl, dsc, dv))
+    n = int(dv.sum())
+    assert n == len(ob)
+    np.testing.assert_allclose(db[:n], ob, rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(dl[:n], ol)
+    np.testing.assert_allclose(dsc[:n], osc, rtol=1e-5)
+
+
+def test_invalid_slots_ignored(rng):
+    boxes, cluster, vote, labels = _random_dets(rng, n=30)
+    valid = np.ones(30, bool)
+    valid[10:] = False
+    ob, ol, osc = vote_nms_numpy(
+        boxes[:10], cluster[:10], vote[:10], labels[:10], 0.5, False, 0.025, False
+    )
+    db, dl, dsc, dv = vote_nms_device(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.asarray(valid),
+        iou_threshold=0.5,
+        max_out=20,
+    )
+    n = int(np.asarray(dv).sum())
+    assert n == len(ob)
+    np.testing.assert_allclose(np.asarray(db)[:n], ob, rtol=1e-3, atol=1e-2)
+
+
+def test_max_out_truncation(rng):
+    boxes, cluster, vote, labels = _random_dets(rng, n=80)
+    ob, ol, osc = vote_nms_numpy(boxes, cluster, vote, labels, 0.5, False, 0.025, False)
+    k = min(3, len(ob))
+    db, dl, dsc, dv = vote_nms_device(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.ones(len(boxes), bool),
+        iou_threshold=0.5,
+        max_out=k,
+    )
+    np.testing.assert_allclose(np.asarray(db)[:k], ob[:k], rtol=1e-3, atol=1e-2)
+
+
+def test_single_box():
+    boxes = np.array([[0, 0, 10, 10]], np.float32)
+    db, dl, dsc, dv = vote_nms_device(
+        jnp.asarray(boxes),
+        jnp.asarray([0.9], dtype=np.float32),
+        jnp.asarray([0.8], dtype=np.float32),
+        jnp.asarray([2], dtype=np.int32),
+        jnp.ones(1, bool),
+        iou_threshold=0.65,
+        max_out=5,
+    )
+    assert int(np.asarray(dv).sum()) == 1
+    np.testing.assert_allclose(np.asarray(db)[0], boxes[0], atol=1e-4)
+    assert int(np.asarray(dl)[0]) == 2
+    np.testing.assert_allclose(float(np.asarray(dsc)[0]), 0.9, rtol=1e-6)
