@@ -1,0 +1,28 @@
+# IC-BIN PBR (reference configs/bop/r50_icbin_pbr.py).
+_base_ = ["./r50_ycbv_pbr.py"]
+
+CLASS_NAMES = ("coffee_cup", "juice_carton")
+
+model = dict(bbox_head=dict(num_classes=2))
+
+data_root = "data/icbin/"
+data = dict(
+    train=dict(
+        ann_file=data_root + "detector_annotations/train_pbr.json",
+        img_prefix=data_root + "train_pbr/",
+        classes=CLASS_NAMES,
+        min_visib_frac=0.1,
+    ),
+    val=dict(
+        ann_file=data_root + "detector_annotations/test_bop19.json",
+        img_prefix=data_root + "test/",
+        classes=CLASS_NAMES,
+    ),
+    test=dict(
+        ann_file=data_root + "detector_annotations/test_bop19.json",
+        img_prefix=data_root + "test/",
+        classes=CLASS_NAMES,
+        bop_submission=True,
+    ),
+)
+work_dir = "work_dirs/icbin_r50_radet_pbr"

@@ -1,0 +1,29 @@
+# ITODD PBR (reference configs/bop/r50_itodd_pbr.py; 28 integer classes).
+_base_ = ["./r50_ycbv_pbr.py"]
+
+OBJ_NUM = 28
+CLASS_NAMES = tuple(i + 1 for i in range(OBJ_NUM))
+
+model = dict(bbox_head=dict(num_classes=28))
+
+data_root = "data/itodd/"
+data = dict(
+    train=dict(
+        ann_file=data_root + "detector_annotations/train_pbr.json",
+        img_prefix=data_root + "train_pbr/",
+        classes=CLASS_NAMES,
+        min_visib_frac=0.1,
+    ),
+    val=dict(
+        ann_file=data_root + "detector_annotations/test_bop19.json",
+        img_prefix=data_root + "test/",
+        classes=CLASS_NAMES,
+    ),
+    test=dict(
+        ann_file=data_root + "detector_annotations/test_bop19.json",
+        img_prefix=data_root + "test/",
+        classes=CLASS_NAMES,
+        bop_submission=True,
+    ),
+)
+work_dir = "work_dirs/itodd_r50_radet_pbr"

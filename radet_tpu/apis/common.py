@@ -1,0 +1,67 @@
+"""Shared assembly helpers for the train/test/inference APIs."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.anchors import AnchorConfig, generate_anchors
+from ..data.bop import BOPDataset
+from ..models.builder import build_detector
+
+
+def anchor_cfg_from_model(model_cfg: Dict) -> AnchorConfig:
+    head = model_cfg.get("bbox_head", {})
+    agen = head.get("anchor_generator", {})
+    return AnchorConfig.from_cfg(agen)
+
+
+def build_model_and_anchors(cfg) -> Tuple[Any, np.ndarray, np.ndarray, list]:
+    """(model, anchors, regress_ranges, level_counts) for cfg.input_size."""
+    model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    model = build_detector(model_cfg, dtype=cfg.get("compute_dtype", "float32"))
+    input_size = tuple(cfg.get("input_size", (480, 640)))
+    anchors, ranges, strides, counts = generate_anchors(
+        input_size, anchor_cfg_from_model(model_cfg)
+    )
+    return model, anchors, ranges, counts
+
+
+def init_variables(model, input_size, seed: int = 0):
+    h, w = input_size
+    return model.init(
+        jax.random.PRNGKey(seed), jnp.zeros((1, h, w, 3), jnp.float32), train=False
+    )
+
+
+def build_dataset(cfg, split: str, test_mode: bool | None = None) -> BOPDataset:
+    data_cfg = cfg.data[split].to_dict() if hasattr(cfg.data[split], "to_dict") else dict(cfg.data[split])
+    if test_mode is None:
+        test_mode = split != "train"
+    la_cfg = cfg.get("label_assignment")
+    max_gt = int(la_cfg.get("max_gt", 32)) if la_cfg is not None else 32
+    model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    return BOPDataset(
+        ann_file=data_cfg["ann_file"],
+        img_prefix=data_cfg.get("img_prefix", ""),
+        seg_prefix=data_cfg.get("seg_prefix"),
+        classes=data_cfg.get("classes"),
+        pipeline=data_cfg["pipeline"],
+        test_mode=test_mode,
+        min_visib_frac=data_cfg.get("min_visib_frac", 0.0),
+        bop_submission=data_cfg.get("bop_submission", False),
+        input_size=tuple(cfg.get("input_size", (480, 640))),
+        max_gt=max_gt,
+        anchor_cfg=anchor_cfg_from_model(model_cfg),
+    )
+
+
+def normalizer_from_cfg(cfg) -> float:
+    head = cfg.model.bbox_head
+    coder = head.get("bbox_coder")
+    if coder is not None and "normalizer" in coder:
+        return float(coder["normalizer"])
+    return 1.0 / 8.0

@@ -1,0 +1,144 @@
+"""Batched dataset inference + evaluation (the reference tools/test.py path,
+SURVEY.md §3.2, without per-image loops or host round-trips).
+
+``run_inference`` keeps shapes static by padding the final partial batch and
+masking the padded rows; detections come back to the host as one fixed-size
+transfer per batch.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..data.loader import DataLoader, collate
+from ..engine.train_step import build_infer_step
+from ..evaluation.coco_eval import COCOEvaluator
+from ..parallel.mesh import batch_sharding, create_mesh, shard_batch
+from ..utils.logging import get_root_logger
+from .common import build_dataset, build_model_and_anchors, normalizer_from_cfg
+
+
+def run_inference(
+    model,
+    variables,
+    dataset,
+    *,
+    anchors,
+    level_counts,
+    img_norm: Dict,
+    test_cfg: Dict,
+    batch_size: int = 8,
+    normalizer: float = 1.0 / 8.0,
+    num_workers: int = 8,
+    mesh=None,
+    score_thr_keep: float = 0.0,
+    log_interval: int = 50,
+) -> List[dict]:
+    """Returns per-image detection dicts {boxes (M,4), scores, labels, img_id}."""
+    logger = get_root_logger()
+    infer = build_infer_step(
+        model,
+        anchors,
+        level_counts,
+        img_norm=img_norm,
+        test_cfg=test_cfg,
+        normalizer=normalizer,
+    )
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=False,
+        num_workers=num_workers,
+        drop_last=False,
+        infinite=False,
+    )
+    results: List[dict] = []
+    t_start = time.time()
+    n_images = 0
+    for bi, batch in enumerate(loader):
+        real = batch["image"].shape[0]
+        if real < batch_size:  # pad to static batch
+            pad = batch_size - real
+            batch = {
+                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], 0)
+                for k, v in batch.items()
+            }
+        if mesh is not None:
+            inputs = shard_batch(
+                dict(
+                    image=batch["image"],
+                    img_shape=batch["img_shape"],
+                    scale_factor=batch["scale_factor"],
+                ),
+                mesh,
+            )
+        else:
+            inputs = batch
+        det = infer(
+            variables, inputs["image"], inputs["img_shape"], inputs["scale_factor"]
+        )
+        boxes, scores, labels, valid = (
+            np.asarray(det.boxes),
+            np.asarray(det.scores),
+            np.asarray(det.labels),
+            np.asarray(det.valid),
+        )
+        for i in range(real):
+            keep = valid[i] & (scores[i] >= score_thr_keep)
+            results.append(
+                dict(
+                    boxes=boxes[i][keep],
+                    scores=scores[i][keep],
+                    labels=labels[i][keep],
+                    img_id=int(batch["img_id"][i]),
+                )
+            )
+        n_images += real
+        if log_interval and (bi + 1) % log_interval == 0:
+            ips = n_images / (time.time() - t_start)
+            logger.info(f"inference: {n_images}/{len(dataset)} images ({ips:.1f} img/s)")
+    dt = time.time() - t_start
+    if n_images:
+        logger.info(f"inference done: {n_images} images in {dt:.1f}s ({n_images / dt:.1f} img/s)")
+    return results
+
+
+def evaluate_results(dataset, results: List[dict]) -> Dict[str, float]:
+    """COCO bbox evaluation with the reference's protocol (bop.py:120-302)."""
+    coco_results = dataset.det2json(results)
+    evaluator = COCOEvaluator(
+        dataset.coco, cat_ids=dataset.cat_ids, img_ids=dataset.img_ids
+    )
+    metrics = evaluator.evaluate(coco_results)
+    return {f"bbox_{k}": v for k, v in metrics.items()}
+
+
+def test_from_config(
+    cfg,
+    variables,
+    *,
+    split: str = "test",
+    batch_size: Optional[int] = None,
+    fmt_only: bool = False,
+):
+    """Config-driven test entry used by tools/test.py."""
+    model, anchors, ranges, counts = build_model_and_anchors(cfg)
+    dataset = build_dataset(cfg, split)
+    results = run_inference(
+        model,
+        variables,
+        dataset,
+        anchors=anchors,
+        level_counts=counts,
+        img_norm=cfg.img_norm_cfg.to_dict(),
+        test_cfg=cfg.test_cfg.to_dict(),
+        batch_size=batch_size or int(cfg.data.get("samples_per_gpu", 8)),
+        normalizer=normalizer_from_cfg(cfg),
+    )
+    if fmt_only:
+        return dataset, results, None
+    return dataset, results, evaluate_results(dataset, results)

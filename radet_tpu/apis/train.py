@@ -1,0 +1,198 @@
+"""Config-driven training (the reference apis/train.py:train_detector
+re-expressed as an explicit jitted step loop over a device mesh).
+
+Hook points (logging / checkpointing / periodic eval) are plain python at the
+loop level — the mmcv Runner+hook machinery collapses into ~betwen-step
+callbacks because all the per-step work (forward, assignment, loss, grads,
+update) lives inside one compiled function (engine/train_step.py).
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loader import DataLoader
+from ..engine.checkpoint import CheckpointManager, load_weights
+from ..engine.optim import build_optimizer
+from ..engine.train_step import TrainState, build_train_step
+from ..parallel.mesh import create_mesh, replicated_sharding, shard_batch
+from ..utils.logging import get_root_logger
+from .common import (
+    build_dataset,
+    build_model_and_anchors,
+    init_variables,
+    normalizer_from_cfg,
+)
+from .test import evaluate_results, run_inference
+
+
+def train_detector(
+    cfg,
+    work_dir: Optional[str] = None,
+    resume_from: Optional[str] = None,
+    max_iters: Optional[int] = None,
+    seed: Optional[int] = None,
+    eval_during_train: bool = True,
+) -> TrainState:
+    work_dir = work_dir or cfg.get("work_dir", "work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+    logger = get_root_logger(osp.join(work_dir, f"train_{int(time.time())}.log"))
+    seed = seed if seed is not None else int(cfg.get("seed", 0))
+
+    model, anchors, ranges, counts = build_model_and_anchors(cfg)
+    input_size = tuple(cfg.get("input_size", (480, 640)))
+    variables = init_variables(model, input_size, seed)
+    pretrained = cfg.model.get("pretrained")
+    if pretrained:
+        logger.info(f"loading pretrained weights from {pretrained}")
+        loaded = load_weights(pretrained, template=None)
+        variables = _merge_pretrained(variables, loaded, logger)
+
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    frozen_stages = int(cfg.model.backbone.get("frozen_stages", -1))
+    tx, schedule = build_optimizer(
+        cfg.optimizer.to_dict(),
+        cfg.lr_config.to_dict(),
+        cfg.get("grad_clip").to_dict() if cfg.get("grad_clip") is not None else None,
+        params,
+        frozen_stages=frozen_stages,
+    )
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+    )
+
+    batch_size = int(cfg.data.get("samples_per_gpu", 16))
+    n_dev = len(jax.devices())
+    # the data mesh must divide the per-host batch
+    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    mesh = create_mesh(jax.devices()[:use_dev])
+    state = jax.device_put(state, replicated_sharding(mesh))
+    logger.info(f"mesh: {mesh.shape} over {use_dev}/{n_dev} devices; batch {batch_size}")
+
+    ckpt_cfg = cfg.get("checkpoint_config")
+    ckpt = CheckpointManager(
+        osp.join(work_dir, "checkpoints"),
+        max_to_keep=int(ckpt_cfg.get("max_to_keep", 3)) if ckpt_cfg else 3,
+        interval=int(ckpt_cfg.get("interval", 10000)) if ckpt_cfg else 10000,
+    )
+    if resume_from:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            logger.info(f"resumed from step {int(state.step)}")
+
+    train_step = build_train_step(
+        model,
+        tx,
+        anchors,
+        ranges,
+        img_norm=cfg.img_norm_cfg.to_dict(),
+        num_classes=int(cfg.model.bbox_head.num_classes),
+        assignment_cfg=cfg.get("label_assignment").to_dict()
+        if cfg.get("label_assignment") is not None
+        else None,
+        normalizer=normalizer_from_cfg(cfg),
+    )
+
+    dataset = build_dataset(cfg, "train", test_mode=False)
+    logger.info(f"train dataset: {len(dataset)} images, {len(dataset.CLASSES)} classes")
+    loader = DataLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        num_workers=int(cfg.data.get("workers_per_gpu", 8)),
+        seed=seed,
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
+        infinite=True,
+    )
+
+    total_iters = max_iters if max_iters is not None else int(cfg.runner.get("max_iters", 100000))
+    log_interval = int(cfg.get("log_config", {}).get("interval", 50) if cfg.get("log_config") else 50)
+    eval_cfg = cfg.get("evaluation")
+    eval_interval = int(eval_cfg.get("interval", 10000)) if eval_cfg else 0
+
+    rng_key = jax.random.PRNGKey(seed + 1)
+    it = iter(loader)
+    t_log = time.time()
+    start_step = int(state.step)
+    for i in range(start_step, total_iters):
+        batch = next(it)
+        device_batch = shard_batch(
+            {
+                k: batch[k]
+                for k in ("image", "gt_boxes", "gt_labels", "gt_valid", "dist_vals")
+            },
+            mesh,
+        )
+        state, metrics = train_step(state, device_batch, rng_key)
+        step = i + 1
+        if log_interval and step % log_interval == 0:
+            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dt = (time.time() - t_log) / log_interval
+            t_log = time.time()
+            lr = float(schedule(step))
+            logger.info(
+                f"iter {step}/{total_iters} lr {lr:.2e} "
+                + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
+                + f" | {dt * 1000:.0f} ms/iter ({batch_size / dt:.1f} img/s)"
+            )
+        if ckpt.interval and step % ckpt.interval == 0:
+            ckpt.save(step, jax.device_get(state), force=True)
+            logger.info(f"checkpoint saved at step {step}")
+        if eval_during_train and eval_interval and step % eval_interval == 0:
+            _run_eval(cfg, model, state, anchors, counts, logger)
+
+    ckpt.save(total_iters, jax.device_get(state), force=True)
+    ckpt.close()
+    return state
+
+
+def _run_eval(cfg, model, state, anchors, counts, logger):
+    try:
+        val_dataset = build_dataset(cfg, "val")
+    except (FileNotFoundError, KeyError) as e:
+        logger.warning(f"skipping eval: {e}")
+        return
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    results = run_inference(
+        model,
+        variables,
+        val_dataset,
+        anchors=anchors,
+        level_counts=counts,
+        img_norm=cfg.img_norm_cfg.to_dict(),
+        test_cfg=cfg.test_cfg.to_dict(),
+        batch_size=int(cfg.data.get("samples_per_gpu", 8)),
+        normalizer=normalizer_from_cfg(cfg),
+    )
+    metrics = evaluate_results(val_dataset, results)
+    logger.info("eval: " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()))
+
+
+def _merge_pretrained(variables, loaded, logger):
+    """Merge loaded weight trees into freshly-initialized variables, keeping
+    template entries for anything absent (e.g. backbone-only imports)."""
+    import flax
+
+    flat_v = flax.traverse_util.flatten_dict(variables)
+    flat_l = flax.traverse_util.flatten_dict(loaded)
+    n_used = 0
+    for k, v in flat_l.items():
+        if k in flat_v and flat_v[k].shape == np.asarray(v).shape:
+            flat_v[k] = jnp.asarray(v)
+            n_used += 1
+        else:
+            logger.warning(f"pretrained key skipped: {'/'.join(map(str, k))}")
+    logger.info(f"loaded {n_used}/{len(flat_v)} arrays from pretrained weights")
+    return flax.traverse_util.unflatten_dict(flat_v)

@@ -17,6 +17,11 @@ class CocoIndex:
         with open(ann_file) as f:
             data = json.load(f)
         self.dataset = data
+        for img in data.get("images", []):
+            # normalize the COCO 'file_name' key (the reference CocoDataset
+            # aliases it to 'filename', coco.py:77)
+            if "filename" not in img and "file_name" in img:
+                img["filename"] = img["file_name"]
         self.imgs: Dict[int, dict] = {img["id"]: img for img in data.get("images", [])}
         self.cats: Dict[int, dict] = {c["id"]: c for c in data.get("categories", [])}
         self.img_to_anns: Dict[int, List[dict]] = {img_id: [] for img_id in self.imgs}
@@ -30,11 +35,13 @@ class CocoIndex:
     def get_cat_ids(self, cat_names: Optional[Sequence[str]] = None) -> List[int]:
         if cat_names is None:
             return sorted(self.cats.keys())
-        by_name = {c["name"]: c["id"] for c in self.cats.values()}
-        missing = [n for n in cat_names if n not in by_name]
+        # stringify both sides: BOP tless/itodd/hb configs use integer class
+        # names (reference configs/bop/r50_tless_pbr.py:6-7)
+        by_name = {str(c["name"]): c["id"] for c in self.cats.values()}
+        missing = [n for n in cat_names if str(n) not in by_name]
         if missing:
             raise KeyError(f"classes not found in annotations: {missing}")
-        return [by_name[n] for n in cat_names]
+        return [by_name[str(n)] for n in cat_names]
 
     def load_img(self, img_id: int) -> dict:
         return self.imgs[img_id]

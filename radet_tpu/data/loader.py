@@ -1,0 +1,142 @@
+"""Batched, prefetching data loader (threads; cv2/PIL release the GIL).
+
+Replaces the reference's torch DataLoader + DistributedGroupSampler + mmcv
+collate stack (/root/reference/radet/datasets/builder.py:83-150,
+datasets/samplers/*.py): because the TPU input path is fully static-shape at
+one fixed resolution, aspect-ratio grouping is unnecessary (SURVEY.md §7);
+sharding across hosts is plain index striding by process.
+
+The loader yields dicts of stacked numpy arrays; transfer to device (and
+across the mesh) is handled by the training loop via
+``jax.device_put(batch, sharding)``.
+"""
+
+from __future__ import annotations
+
+import queue
+import random as pyrandom
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class DataLoader:
+    """Iterates batches; infinite (reshuffled epochs) when ``infinite``.
+
+    Per-host sharding: host p of P sees indices p, p+P, p+2P, ... of the
+    (epoch-seeded) permutation — the pjit data-parallel analogue of the
+    reference's rank-sharded DistributedSampler
+    (datasets/samplers/distributed_sampler.py:7-32).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 8,
+        seed: int = 0,
+        shard_id: int = 0,
+        num_shards: int = 1,
+        drop_last: bool = True,
+        infinite: bool = False,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.drop_last = drop_last
+        self.infinite = infinite
+        self.prefetch_batches = prefetch_batches
+
+    def _epoch_indices(self, epoch: int) -> List[int]:
+        n = len(self.dataset)
+        idx = list(range(n))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + epoch)
+            rng.shuffle(idx)
+        # pad so every shard sees the same number of samples
+        per_shard = (len(idx) + self.num_shards - 1) // self.num_shards
+        total = per_shard * self.num_shards
+        idx = (idx * 2)[:total]
+        return idx[self.shard_id :: self.num_shards]
+
+    def __len__(self) -> int:
+        n = len(self._epoch_indices(0))
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_stream(self):
+        """Indices across epochs. In infinite mode epochs chain seamlessly, so
+        datasets smaller than a batch still fill batches (with repeats)."""
+        epoch = 0
+        while True:
+            indices = self._epoch_indices(epoch)
+            if not indices:
+                return
+            yield from indices
+            epoch += 1
+            if not self.infinite:
+                return
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            from collections import deque
+
+            executor = ThreadPoolExecutor(max_workers=self.num_workers)
+            window = max(self.num_workers * 2, self.batch_size * (self.prefetch_batches + 1))
+            try:
+                stream = self._index_stream()
+                pending: deque = deque()
+                current: list = []
+                exhausted = False
+                while not stop.is_set():
+                    while not exhausted and len(pending) < window:
+                        idx = next(stream, None)
+                        if idx is None:
+                            exhausted = True
+                            break
+                        pending.append(executor.submit(self.dataset.__getitem__, idx))
+                    if not pending:
+                        if current and not self.drop_last:
+                            out_q.put(collate(current))
+                        return
+                    current.append(pending.popleft().result())
+                    if len(current) == self.batch_size:
+                        out_q.put(collate(current))
+                        current = []
+            finally:
+                out_q.put(None)
+                executor.shutdown(wait=False, cancel_futures=True)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+            # drain so the producer can exit
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break

@@ -1,0 +1,80 @@
+"""Orbax checkpointing of {params, batch_stats, opt_state, step}.
+
+Replaces mmcv CheckpointHook + resume_from/load_from
+(/root/reference/configs/base/default_runtime.py:17, tools/train.py:165-172,
+apis/train.py:165-168). ``save``/``restore`` cover full training state
+(resume); ``load_weights`` restores model variables only (the reference's
+``load_from``)."""
+
+from __future__ import annotations
+
+import os.path as osp
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3, interval: int = 10000):
+        self.directory = osp.abspath(directory)
+        self.interval = interval
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state, force: bool = False) -> bool:
+        if not force and (step % self.interval != 0):
+            return False
+        payload = dict(
+            params=state.params,
+            batch_stats=state.batch_stats,
+            opt_state=state.opt_state,
+            step=np.asarray(state.step),
+        )
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        return True
+
+    def latest_step(self) -> Optional[int]:
+        return self._mgr.latest_step()
+
+    def restore(self, state, step: Optional[int] = None):
+        """Restore a full TrainState (same structure as ``state``)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        template = dict(
+            params=state.params,
+            batch_stats=state.batch_stats,
+            opt_state=state.opt_state,
+            step=np.asarray(state.step),
+        )
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
+        return state._replace(
+            step=jax.numpy.asarray(restored["step"]),
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=restored["opt_state"],
+        )
+
+    def close(self):
+        self._mgr.close()
+
+
+def save_weights(path: str, variables: Dict[str, Any]):
+    """Weights-only checkpoint (inference / load_from)."""
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(osp.abspath(path), variables)
+    ckptr.wait_until_finished()
+
+
+def load_weights(path: str, template: Dict[str, Any] | None = None) -> Dict[str, Any]:
+    ckptr = ocp.StandardCheckpointer()
+    if template is not None:
+        return ckptr.restore(osp.abspath(path), target=template)
+    return ckptr.restore(osp.abspath(path))

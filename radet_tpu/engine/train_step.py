@@ -1,0 +1,156 @@
+"""The jitted train/eval step builders.
+
+This is the TPU replacement for the reference's mmcv IterBasedRunner +
+DDP + OptimizerHook stack (/root/reference/radet/apis/train.py:36-169,
+models/detectors/base.py:220-268): one jit-compiled function performs
+uint8 normalization, the forward pass, on-device label assignment, the RADet
+loss, gradients, clipping and the optimizer update.  Under a data mesh the
+gradient all-reduce is inserted by XLA (parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.anchors import AnchorConfig, generate_anchors
+from ..core.assignment import assign_labels
+from ..models.detector import flatten_head_outputs, preprocess_images
+from ..models.postprocess import Detections, get_bboxes
+from ..models.radet_loss import radet_loss
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def build_train_step(
+    model,
+    tx,
+    anchors: np.ndarray,
+    regress_ranges: np.ndarray,
+    *,
+    img_norm: Dict[str, Any],
+    num_classes: int,
+    assignment_cfg: Dict[str, Any] | None = None,
+    normalizer: float = 1.0 / 8.0,
+    loss_weights: Dict[str, float] | None = None,
+):
+    """Returns train_step(state, batch, rng_key) -> (state, metrics)."""
+    assignment_cfg = dict(assignment_cfg or {})
+    positive_num = int(assignment_cfg.get("positive_num", 10))
+    neg_threshold = float(assignment_cfg.get("neg_threshold", 0.2))
+    balance_sample = bool(assignment_cfg.get("balance_sample", True))
+    lw = dict(cls=1.0, bbox=2.0, iou=1.0)
+    lw.update(loss_weights or {})
+    anchors_j = jnp.asarray(anchors)
+    ranges_j = jnp.asarray(regress_ranges)
+    mean = tuple(img_norm["mean"])
+    std = tuple(img_norm["std"])
+    dtype = model.dtype
+
+    def assign_batch(key, batch):
+        b = batch["gt_boxes"].shape[0]
+        keys = jax.random.split(key, b)
+        return jax.vmap(
+            lambda k, gb, gv, dv: assign_labels(
+                k,
+                anchors_j,
+                ranges_j,
+                gb,
+                gv,
+                dv,
+                positive_num=positive_num,
+                neg_threshold=neg_threshold,
+                balance_sample=balance_sample,
+            )
+        )(keys, batch["gt_boxes"], batch["gt_valid"], batch["dist_vals"])
+
+    def loss_fn(params, batch_stats, batch, assign):
+        x = preprocess_images(batch["image"], mean, std, dtype)
+        outs = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x, train=True
+        )
+        cls_flat, reg_flat, iou_flat = flatten_head_outputs(*outs)
+        losses = radet_loss(
+            cls_flat,
+            reg_flat,
+            iou_flat,
+            anchors_j,
+            batch["gt_boxes"],
+            batch["gt_labels"],
+            assign.gt_idx,
+            assign.weight,
+            num_classes=num_classes,
+            normalizer=normalizer,
+            cls_loss_weight=lw["cls"],
+            bbox_loss_weight=lw["bbox"],
+            iou_loss_weight=lw["iou"],
+        )
+        total = losses["loss_cls"] + losses["loss_bbox"] + losses["loss_iou"]
+        return total, losses
+
+    @jax.jit
+    def train_step(state: TrainState, batch, rng_key):
+        step_key = jax.random.fold_in(rng_key, state.step)
+        assign = assign_batch(step_key, batch)
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, assign
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=state.batch_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def build_infer_step(
+    model,
+    anchors: np.ndarray,
+    level_counts,
+    *,
+    img_norm: Dict[str, Any],
+    test_cfg: Dict[str, Any],
+    normalizer: float = 1.0 / 8.0,
+    rescale: bool = True,
+):
+    """Returns infer(variables, images_u8, img_shapes, scale_factors) ->
+    Detections — the whole reference tools/test.py hot loop (SURVEY.md §3.2)
+    as one compiled function."""
+    level_anchors = np.split(anchors, np.cumsum(level_counts)[:-1])
+    mean = tuple(img_norm["mean"])
+    std = tuple(img_norm["std"])
+    dtype = model.dtype
+
+    @jax.jit
+    def infer(variables, images_u8, img_shapes, scale_factors) -> Detections:
+        x = preprocess_images(images_u8, mean, std, dtype)
+        outs = model.apply(variables, x, train=False)
+        return get_bboxes(
+            *outs,
+            level_anchors,
+            img_shapes,
+            scale_factors,
+            test_cfg=test_cfg,
+            normalizer=normalizer,
+            rescale=rescale,
+        )
+
+    return infer

@@ -1,0 +1,151 @@
+import numpy as np
+import pytest
+
+from radet_tpu.data import BOPDataset, DataLoader
+
+from fixtures import make_synthetic_bop
+
+TRAIN_PIPELINE = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True, with_bop_mask=True),
+    dict(type="Resize", img_scale=(640, 480), keep_ratio=True),
+    dict(type="RandomFlip", flip_ratio=0.5),
+    dict(type="GenerateDistanceMap"),
+    dict(type="SampleDistanceAtAnchors"),
+    dict(type="Pad", size_divisor=16),
+]
+TEST_PIPELINE = [
+    dict(type="LoadImageFromFile"),
+    dict(type="Resize", img_scale=(640, 480), keep_ratio=True),
+    dict(type="Pad", size_divisor=32),
+]
+
+
+@pytest.fixture(scope="module")
+def bop_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bop")
+    ann_file, img_prefix = make_synthetic_bop(str(root), num_scenes=1, images_per_scene=4)
+    return str(root), ann_file, img_prefix
+
+
+def test_train_sample_shapes(bop_root):
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file,
+        img_prefix=img_prefix,
+        pipeline=TRAIN_PIPELINE,
+        input_size=(480, 640),
+        max_gt=32,
+    )
+    assert len(ds) == 4
+    s = ds[0]
+    assert s["image"].shape == (480, 640, 3) and s["image"].dtype == np.uint8
+    assert s["gt_boxes"].shape == (32, 4)
+    assert s["gt_labels"].shape == (32,)
+    assert s["gt_valid"].shape == (32,)
+    assert s["dist_vals"].shape == (6400, 32)
+    g = int(s["gt_valid"].sum())
+    assert 1 <= g <= 4
+    # dist_vals nonzero only for valid gts, and only where masks are
+    assert s["dist_vals"][:, g:].sum() == 0
+    assert s["dist_vals"].max() == 1.0
+    # boxes within image
+    b = s["gt_boxes"][s["gt_valid"]]
+    assert (b[:, 2] > b[:, 0]).all() and (b[:, 3] > b[:, 1]).all()
+    assert b.max() <= 640
+
+
+def test_dist_vals_match_masks(bop_root):
+    root, ann_file, img_prefix = bop_root
+    # no flip for determinism
+    pipeline = [t for t in TRAIN_PIPELINE if t["type"] != "RandomFlip"]
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=pipeline, input_size=(480, 640)
+    )
+    s = ds[1]
+    from radet_tpu.core import generate_anchors, anchor_centers
+
+    anchors, _, _, _ = generate_anchors((480, 640))
+    centers = anchor_centers(anchors)
+    b = s["gt_boxes"][0]
+    inside = (
+        (centers[:, 0] > b[0])
+        & (centers[:, 0] < b[2])
+        & (centers[:, 1] > b[1])
+        & (centers[:, 1] < b[3])
+    )
+    # synthetic objects are solid rectangles: every center strictly inside the
+    # box must see mask value 1
+    strict = (
+        (centers[:, 0] > b[0] + 1)
+        & (centers[:, 0] < b[2] - 1)
+        & (centers[:, 1] > b[1] + 1)
+        & (centers[:, 1] < b[3] - 1)
+    )
+    assert s["dist_vals"][strict, 0].min() == 1.0
+    assert s["dist_vals"][~inside, 0].max() == 0.0
+
+
+def test_test_mode_sample(bop_root):
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file,
+        img_prefix=img_prefix,
+        pipeline=TEST_PIPELINE,
+        input_size=(480, 640),
+        test_mode=True,
+    )
+    s = ds[0]
+    assert s["image"].shape == (480, 640, 3)
+    np.testing.assert_allclose(s["img_shape"], [480, 640])
+    np.testing.assert_allclose(s["scale_factor"], 1.0)
+    assert "gt_boxes" not in s
+
+
+def test_loader_batches(bop_root):
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=TRAIN_PIPELINE, input_size=(480, 640)
+    )
+    loader = DataLoader(ds, batch_size=2, shuffle=True, num_workers=2, drop_last=True)
+    batches = list(loader)
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (2, 480, 640, 3)
+    assert batches[0]["dist_vals"].shape == (2, 6400, 32)
+
+
+def test_loader_sharding(bop_root):
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=TEST_PIPELINE, input_size=(480, 640), test_mode=True
+    )
+    ids = set()
+    for shard in range(2):
+        loader = DataLoader(
+            ds, batch_size=1, shuffle=False, num_workers=1, shard_id=shard, num_shards=2
+        )
+        for b in loader:
+            ids.add(int(b["img_id"][0]))
+    assert len(ids) == 4  # both shards together cover the dataset
+
+
+def test_min_visib_filtering(bop_root, tmp_path):
+    import json
+
+    root, ann_file, img_prefix = bop_root
+    with open(ann_file) as f:
+        data = json.load(f)
+    for ann in data["annotations"]:
+        ann["visib_fract"] = 0.05
+    low_file = tmp_path / "low_visib.json"
+    with open(low_file, "w") as f:
+        json.dump(data, f)
+    ds = BOPDataset(
+        str(low_file),
+        img_prefix=img_prefix,
+        pipeline=TRAIN_PIPELINE,
+        input_size=(480, 640),
+        min_visib_frac=0.1,
+    )
+    # all GTs ignored -> empty dataset after filtering
+    assert len(ds) == 0

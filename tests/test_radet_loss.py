@@ -37,8 +37,12 @@ def test_radet_loss_values(rng):
     anchors[:, 0], anchors[:, 1] = cx - 32, cy - 32
     anchors[:, 2], anchors[:, 3] = cx + 32, cy + 32
 
+    # put the two positive anchors near their GTs so decoded preds overlap
+    anchors[0] = [120, 120, 184, 184]
+    anchors[1] = [280, 180, 344, 244]
+
     cls = rng.randn(1, n, c).astype(np.float32)
-    reg = np.abs(rng.randn(1, n, 4)).astype(np.float32)
+    reg = np.abs(rng.randn(1, n, 4)).astype(np.float32) + 2.0
     iou = rng.randn(1, n).astype(np.float32)
     gt_boxes = np.array([[[100, 100, 200, 200], [250, 150, 380, 280]]], np.float32)
     gt_labels = np.array([[1, 2]], np.int32)
@@ -81,7 +85,8 @@ def test_radet_loss_values(rng):
     ewh = np.clip(er - el, 0, None)
     enc = ewh[:, 0] * ewh[:, 1]
     giou = inter / union - (enc - union) / enc
-    w_pos = np.array([2.0, 1.0]) * iou_t
+    w_pos = np.array([2.0, 1.0]) * np.clip(iou_t, 1e-12, None)
+    assert iou_t.min() > 0, "test setup should give overlapping preds"
     want_bbox = ((1 - giou) * w_pos).sum() / w_pos.sum() * 2.0
     np.testing.assert_allclose(float(out["loss_bbox"]), want_bbox, rtol=1e-4)
 

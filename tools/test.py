@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Test a detector: batched inference + COCO eval / result export.
+
+CLI parity with the reference tools/test.py (--config, checkpoint, --out,
+--format-only, --eval bbox, --cfg-options;
+/root/reference/tools/test.py:22-100). Results export:
+  --out results.pkl      pickled per-image results
+  --format-only --json-prefix p   writes p.bbox.json (COCO) and, when the
+                                  dataset has bop_submission=True, p.bop.json
+                                  (BOP challenge format, bop.py:99-118).
+"""
+
+import argparse
+import json
+import os.path as osp
+import pickle
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+from radet_tpu.apis.test import evaluate_results, test_from_config
+from radet_tpu.engine.checkpoint import load_weights
+from radet_tpu.apis.common import build_model_and_anchors, init_variables
+from radet_tpu.utils import Config, get_root_logger
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Test a RADet-TPU detector")
+    p.add_argument("config")
+    p.add_argument("checkpoint", nargs="?", default=None, help="weights checkpoint (orbax)")
+    p.add_argument("--out", help="output results pickle")
+    p.add_argument("--format-only", action="store_true")
+    p.add_argument("--json-prefix", default=None)
+    p.add_argument("--eval", nargs="+", default=None, help="metrics, e.g. bbox")
+    p.add_argument("--split", default="test", choices=["test", "val"])
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--cfg-options", nargs="+", default=None)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    cfg = Config.fromfile(args.config, args.cfg_options)
+    logger = get_root_logger()
+
+    model, _, _, _ = build_model_and_anchors(cfg)
+    variables = init_variables(model, tuple(cfg.get("input_size", (480, 640))))
+    if args.checkpoint:
+        variables = load_weights(args.checkpoint, template=variables)
+        logger.info(f"loaded checkpoint {args.checkpoint}")
+    else:
+        logger.warning("no checkpoint given — using random weights")
+
+    dataset, results, metrics = test_from_config(
+        cfg,
+        variables,
+        split=args.split,
+        batch_size=args.batch_size,
+        fmt_only=args.format_only and args.eval is None,
+    )
+
+    if args.out:
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
+        logger.info(f"results written to {args.out}")
+
+    if args.format_only or args.json_prefix:
+        prefix = args.json_prefix or (osp.splitext(args.out)[0] if args.out else "results")
+        with open(prefix + ".bbox.json", "w") as f:
+            json.dump(dataset.det2json(results), f)
+        logger.info(f"COCO results: {prefix}.bbox.json")
+        if dataset.bop_submission:
+            with open(prefix + ".bop.json", "w") as f:
+                json.dump(dataset.bop_det2json(results), f)
+            logger.info(f"BOP submission: {prefix}.bop.json")
+
+    if args.eval:
+        if metrics is None:
+            metrics = evaluate_results(dataset, results)
+        for k, v in metrics.items():
+            logger.info(f"{k}: {v:.4f}")
+        print(json.dumps(metrics, indent=2))
+
+
+if __name__ == "__main__":
+    main()
