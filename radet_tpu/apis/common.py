@@ -37,10 +37,42 @@ def init_variables(model, input_size, seed: int = 0):
     )
 
 
-def build_dataset(cfg, split: str, test_mode: bool | None = None) -> BOPDataset:
+def build_dataset(cfg, split: str, test_mode: bool | None = None):
     data_cfg = cfg.data[split].to_dict() if hasattr(cfg.data[split], "to_dict") else dict(cfg.data[split])
     if test_mode is None:
         test_mode = split != "train"
+    ds_type = data_cfg.get("type", "BOPDataset")
+    if ds_type in ("MixDataset", "ConcatDataset", "RepeatDataset", "ClassBalancedDataset"):
+        from ..data.dataset_wrappers import (
+            ClassBalancedDataset,
+            ConcatDataset,
+            MixDataset,
+            RepeatDataset,
+        )
+
+        def _sub(sub_cfg):
+            sub_cfg = dict(sub_cfg)
+            # sub-datasets inherit pipeline/classes/etc. from the wrapper level
+            for key in ("pipeline", "classes", "min_visib_frac", "seg_prefix"):
+                if key in data_cfg and key not in sub_cfg:
+                    sub_cfg[key] = data_cfg[key]
+            return _build_bop(cfg, sub_cfg, test_mode)
+
+        if ds_type == "MixDataset":
+            return MixDataset(
+                [_sub(d) for d in data_cfg["datasets"]], data_cfg["ratios"]
+            )
+        if ds_type == "ConcatDataset":
+            return ConcatDataset([_sub(d) for d in data_cfg["datasets"]])
+        if ds_type == "RepeatDataset":
+            return RepeatDataset(_sub(data_cfg["dataset"]), data_cfg["times"])
+        return ClassBalancedDataset(
+            _sub(data_cfg["dataset"]), data_cfg["oversample_thr"]
+        )
+    return _build_bop(cfg, data_cfg, test_mode)
+
+
+def _build_bop(cfg, data_cfg, test_mode: bool) -> BOPDataset:
     la_cfg = cfg.get("label_assignment")
     max_gt = int(la_cfg.get("max_gt", 32)) if la_cfg is not None else 32
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)

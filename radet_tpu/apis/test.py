@@ -37,6 +37,7 @@ def run_inference(
     mesh=None,
     score_thr_keep: float = 0.0,
     log_interval: int = 50,
+    aug_flip: bool = False,
 ) -> List[dict]:
     """Returns per-image detection dicts {boxes (M,4), scores, labels, img_id}."""
     logger = get_root_logger()
@@ -87,6 +88,11 @@ def run_inference(
             np.asarray(det.labels),
             np.asarray(det.valid),
         )
+        if aug_flip:
+            boxes, scores, labels, valid = _merge_flip_aug(
+                infer, variables, batch, inputs, test_cfg,
+                boxes, scores, labels, valid,
+            )
         for i in range(real):
             keep = valid[i] & (scores[i] >= score_thr_keep)
             results.append(
@@ -105,6 +111,68 @@ def run_inference(
     if n_images:
         logger.info(f"inference done: {n_images} images in {dt:.1f}s ({n_images / dt:.1f} img/s)")
     return results
+
+
+def _merge_flip_aug(infer, variables, batch, inputs, test_cfg,
+                    boxes, scores, labels, valid):
+    """Horizontal-flip test-time augmentation.
+
+    Redesigned from the reference's MultiScaleFlipAug + merge_augs
+    (core/post_processing/merge_augs.py): run the compiled step on flipped
+    images, unflip the detections into original coordinates, then fuse the
+    two fixed-size detection sets with a host vote-NMS (ops/native)."""
+    from ..ops.vote_nms import vote_nms_numpy
+
+    try:
+        from ..ops.native import load as _native_load, vote_nms_native
+
+        native_ok = _native_load() is not None
+    except Exception:
+        native_ok = False
+
+    images = np.asarray(batch["image"])
+    shapes = np.asarray(batch["img_shape"])
+    scales = np.asarray(batch["scale_factor"])
+    flipped = images.copy()
+    for i in range(len(images)):
+        w = int(shapes[i][1])
+        flipped[i, :, :w] = images[i, :, :w][:, ::-1]
+    det_f = infer(variables, flipped, batch["img_shape"], batch["scale_factor"])
+    fb = np.asarray(det_f.boxes)
+    fs = np.asarray(det_f.scores)
+    fl = np.asarray(det_f.labels)
+    fv = np.asarray(det_f.valid)
+    nms_cfg = dict(test_cfg.get("nms", {}))
+    iou_thr = float(nms_cfg.get("iou_threshold", 0.6))
+    max_out = int(test_cfg.get("max_per_img", 100))
+
+    out_b, out_s, out_l, out_v = [], [], [], []
+    m = boxes.shape[1]
+    for i in range(len(images)):
+        # unflip: boxes are in ORIGINAL image coords; W_ori = w_resized/scale
+        w_ori = shapes[i][1] / max(scales[i][0], 1e-12)
+        ub = fb[i].copy()
+        ub[:, 0] = w_ori - fb[i][:, 2]
+        ub[:, 2] = w_ori - fb[i][:, 0]
+        cb = np.concatenate([boxes[i][valid[i]], ub[fv[i]]], 0)
+        cs = np.concatenate([scores[i][valid[i]], fs[i][fv[i]]], 0)
+        cl = np.concatenate([labels[i][valid[i]], fl[i][fv[i]]], 0).astype(np.int64)
+        if native_ok:
+            vb, vl, vs = vote_nms_native(cb, cs, cs, cl, iou_thr)
+        else:
+            vb, vl, vs = vote_nms_numpy(cb, cs, cs, cl, iou_thr)
+        vb, vl, vs = vb[:max_out], vl[:max_out], vs[:max_out]
+        k = len(vb)
+        pb = np.zeros((m, 4), np.float32)
+        ps = np.zeros((m,), np.float32)
+        pl = np.zeros((m,), np.int64)
+        pv = np.zeros((m,), bool)
+        pb[:k], ps[:k], pl[:k], pv[:k] = vb, vs, vl, True
+        out_b.append(pb)
+        out_s.append(ps)
+        out_l.append(pl)
+        out_v.append(pv)
+    return np.stack(out_b), np.stack(out_s), np.stack(out_l), np.stack(out_v)
 
 
 def evaluate_results(dataset, results: List[dict]) -> Dict[str, float]:
@@ -138,6 +206,7 @@ def test_from_config(
         test_cfg=cfg.test_cfg.to_dict(),
         batch_size=batch_size or int(cfg.data.get("samples_per_gpu", 8)),
         normalizer=normalizer_from_cfg(cfg),
+        aug_flip=bool(cfg.test_cfg.get("flip_tta", False)),
     )
     if fmt_only:
         return dataset, results, None
