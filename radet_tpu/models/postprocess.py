@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.box_coder import tblr_decode
-from ..ops.vote_nms import batched_nms_device, vote_nms_device
+from ..ops.vote_nms import batched_nms_device, vote_nms_device, vote_nms_device_fast
 
 NEG_INF = -1e30
 
@@ -75,13 +75,12 @@ def select_candidates(
         ious = jax.nn.sigmoid(iou_map.reshape(b, n_l))
         regs = reg_map.reshape(b, n_l, 4)
 
-        flat = scores.reshape(b, n_l * c)
         k = min(nms_pre, n_l * c)
-        masked = jnp.where(flat > score_thr, flat, NEG_INF)
-        top_scores, top_idx = jax.lax.top_k(masked, k)  # (B, k)
+        masked = jnp.where(scores > score_thr, scores, NEG_INF)  # (B, n_l, C)
+        top_scores, pair_idx = jax.lax.top_k(masked.reshape(b, n_l * c), k)
+        anchor_idx = pair_idx // c
         valid = top_scores > NEG_INF
-        anchor_idx = top_idx // c
-        label = (top_idx % c).astype(jnp.int32)
+        label = (pair_idx % c).astype(jnp.int32)
 
         anchors_j = jnp.asarray(anchors)  # (n_l, 4)
         g_anchors = anchors_j[anchor_idx]  # (B, k, 4)
@@ -109,6 +108,62 @@ def select_candidates(
     )
 
 
+def select_candidates_global(
+    cls_list,
+    reg_list,
+    iou_list,
+    anchors_per_level,
+    img_shapes,
+    *,
+    score_thr: float,
+    topk: int,
+    normalizer: float = 1.0 / 8.0,
+    use_approx_topk: bool = True,
+):
+    """Single global top-k over all levels' (cell, class) pairs.
+
+    The TPU-first reformulation of the per-level candidate selection: concat
+    level score maps into one (B, N_total*C) array, one (approximate) top-k
+    straight down to the NMS input size, then decode only those ``topk``
+    candidates.  Deviates from the reference's per-level nms_pre=1000 caps
+    only when more than ``topk`` pairs clear the score threshold (the caps
+    then bind differently) — with score_thr 0.05 that is a pathological
+    scene; use candidate_mode='per_level' for strict reference semantics.
+    """
+    b = cls_list[0].shape[0]
+    c = cls_list[0].shape[-1]
+    scores = jnp.concatenate(
+        [jax.nn.sigmoid(m.reshape(b, -1, c)) for m in cls_list], axis=1
+    )  # (B, N, C)
+    ious = jnp.concatenate(
+        [jax.nn.sigmoid(m.reshape(b, -1)) for m in iou_list], axis=1
+    )  # (B, N)
+    regs = jnp.concatenate([m.reshape(b, -1, 4) for m in reg_list], axis=1)
+    anchors = jnp.asarray(np.concatenate(anchors_per_level, 0))  # (N, 4)
+    n = anchors.shape[0]
+
+    masked = jnp.where(scores > score_thr, scores, NEG_INF).reshape(b, n * c)
+    k = min(topk, n * c)
+    if use_approx_topk:
+        top_scores, pair_idx = jax.lax.approx_max_k(masked, k, recall_target=0.98)
+    else:
+        top_scores, pair_idx = jax.lax.top_k(masked, k)
+    anchor_idx = pair_idx // c
+    label = (pair_idx % c).astype(jnp.int32)
+    valid = top_scores > NEG_INF
+
+    g_anchors = anchors[anchor_idx]
+    g_regs = jnp.take_along_axis(regs, anchor_idx[..., None].repeat(4, -1), axis=1)
+    g_ious = jnp.take_along_axis(ious, anchor_idx, axis=1)
+
+    hw = img_shapes.astype(jnp.float32)
+    boxes = tblr_decode(g_anchors, g_regs, normalizer=normalizer)
+    x = jnp.clip(boxes[..., 0::2], 0, hw[:, None, None, 1])
+    y = jnp.clip(boxes[..., 1::2], 0, hw[:, None, None, 0])
+    boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
+    return boxes, jnp.where(valid, top_scores, 0.0), g_ious, label, valid
+
+
 def get_bboxes(
     cls_list,
     reg_list,
@@ -127,17 +182,36 @@ def get_bboxes(
     score_thr = float(test_cfg.get("score_thr", 0.05))
     nms_pre = int(test_cfg.get("nms_pre", 1000))
     max_per_img = int(test_cfg.get("max_per_img", 100))
+    # candidates entering NMS are pre-reduced to the global top-k by cluster
+    # score: bounds the O(K^2) IoU matrix of the parallel-greedy NMS.  In
+    # practice far fewer than 1024 candidates pass score_thr=0.05.
+    nms_topk = int(test_cfg.get("nms_topk", 1024))
+    nms_impl = str(test_cfg.get("nms_impl", "fast"))  # 'fast' | 'scan'
+    candidate_mode = str(test_cfg.get("candidate_mode", "global"))
 
-    boxes, cls_s, iou_s, labels, valid = select_candidates(
-        cls_list,
-        reg_list,
-        iou_list,
-        anchors_per_level,
-        img_shapes,
-        score_thr=score_thr,
-        nms_pre=nms_pre,
-        normalizer=normalizer,
-    )
+    if candidate_mode == "global":
+        boxes, cls_s, iou_s, labels, valid = select_candidates_global(
+            cls_list,
+            reg_list,
+            iou_list,
+            anchors_per_level,
+            img_shapes,
+            score_thr=score_thr,
+            topk=nms_topk,
+            normalizer=normalizer,
+            use_approx_topk=bool(test_cfg.get("approx_topk", True)),
+        )
+    else:
+        boxes, cls_s, iou_s, labels, valid = select_candidates(
+            cls_list,
+            reg_list,
+            iou_list,
+            anchors_per_level,
+            img_shapes,
+            score_thr=score_thr,
+            nms_pre=nms_pre,
+            normalizer=normalizer,
+        )
     if rescale:
         boxes = boxes / scale_factors[:, None, :]
 
@@ -149,8 +223,22 @@ def get_bboxes(
         vote_score = _resolve_score(nms_cfg.pop("vote_score", "iou"), cls_s, iou_s)
         iou_enable = bool(nms_cfg.pop("iou_enable", False))
         sigma = float(nms_cfg.pop("sigma", 0.025))
+
+        k = boxes.shape[1]
+        if nms_impl == "fast" and nms_topk < k:
+            masked = jnp.where(valid, cluster_score, NEG_INF)
+            _, top_idx = jax.lax.top_k(masked, nms_topk)  # (B, nms_topk)
+            take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
+            boxes = jnp.take_along_axis(
+                boxes, top_idx[..., None].repeat(4, -1), axis=1
+            )
+            cluster_score = take(cluster_score)
+            vote_score = take(vote_score)
+            labels = take(labels)
+            valid = take(valid)
+
         nms_fn = functools.partial(
-            vote_nms_device,
+            vote_nms_device_fast if nms_impl == "fast" else vote_nms_device,
             iou_threshold=iou_threshold,
             max_out=max_per_img,
             iou_enable=iou_enable,

@@ -205,6 +205,125 @@ def vote_nms_device(
     return ob, ol, osc, ov
 
 
+# ---------------------------------------------------------------------------
+# Fast exact formulation: parallel greedy via keep-mask fixed point
+# ---------------------------------------------------------------------------
+#
+# Greedy NMS's keep set is the unique fixed point of
+#     keep_i = valid_i and (no j with score_j > score_i, same label,
+#                           IoU > thr, keep_j)
+# (sort by score so "higher score" = "lower index").  Iterating this
+# anti-monotone map from all-true converges in chain-depth steps (typically
+# 2-4) — a short lax.while_loop of dense matrix ops instead of max_out
+# sequential argmax steps.  Cluster membership is then exact greedy too:
+# a suppressed box belongs to the LOWEST-INDEX kept seed that overlaps it
+# (same label, IoU > thr) — greedy's first-emitted capturer.  Voting becomes
+# two masked matrix products.  ``global`` mode keeps only the first kept seed
+# per label (see vote_ext.cpp:247-276; suppressed-label seeds never capture
+# members, and first-cluster membership is unaffected).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("iou_threshold", "max_out", "iou_enable", "sigma", "global_mode"),
+)
+def vote_nms_device_fast(
+    boxes,
+    cluster_scores,
+    vote_scores,
+    labels,
+    valid,
+    *,
+    iou_threshold: float = 0.65,
+    max_out: int = 100,
+    iou_enable: bool = False,
+    sigma: float = 0.025,
+    global_mode: bool = False,
+):
+    """Exact vote-NMS via the parallel-greedy fixed point. Same contract as
+    :func:`vote_nms_device`; O(K^2) memory — pre-reduce candidates with a
+    global top-k (see postprocess.get_bboxes nms_topk)."""
+    k = boxes.shape[0]
+    labels = labels.astype(jnp.int32)
+    neg = jnp.where(valid, cluster_scores, NEG_INF)
+    order = jnp.argsort(-neg)  # descending score, invalid last
+    boxes = boxes[order]
+    cluster_scores = cluster_scores[order]
+    vote_scores = vote_scores[order]
+    labels = labels[order]
+    valid = valid[order]
+
+    # pairwise IoU
+    lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])
+    rb = jnp.minimum(boxes[:, None, 2:], boxes[None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    areas = jnp.clip(boxes[:, 2] - boxes[:, 0], 0) * jnp.clip(boxes[:, 3] - boxes[:, 1], 0)
+    iou = inter / jnp.maximum(areas[:, None] + areas[None, :] - inter, 1e-12)
+
+    idx = jnp.arange(k)
+    same_label = (labels[:, None] == labels[None, :]) & valid[:, None] & valid[None, :]
+    overlap = same_label & (iou > iou_threshold)
+    blockers = overlap & (idx[None, :] < idx[:, None])  # j higher-scored than i
+
+    def cond(state):
+        _, changed = state
+        return changed
+
+    def body(state):
+        keep, _ = state
+        new_keep = valid & ~jnp.any(blockers & keep[None, :], axis=1)
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep, _ = jax.lax.while_loop(cond, body, (valid, jnp.array(True)))
+
+    if global_mode:
+        # only the first kept seed of each label emits
+        earlier_same = same_label & (idx[None, :] < idx[:, None]) & keep[None, :]
+        keep = keep & ~jnp.any(earlier_same, axis=1)
+
+    # membership: lowest-index kept seed overlapping each box (incl. itself)
+    cand = overlap & keep[:, None]  # seed i captures box m (i < m enforced next)
+    cand = cand & (idx[:, None] <= idx[None, :])
+    cand = cand.at[idx, idx].set(keep)  # every kept seed owns itself
+    seed_of = jnp.argmax(cand, axis=0)  # first True along seeds (lowest index)
+    has_seed = jnp.any(cand, axis=0)
+    member = (
+        (seed_of[None, :] == idx[:, None]) & has_seed[None, :] & keep[:, None]
+    )  # (seed, box)
+
+    vs = vote_scores
+    if iou_enable:
+        vs = vs[None, :] * jnp.exp(-((1.0 - iou) ** 2) / sigma)  # (seed, box)
+        w = jnp.where(member, vs, 0.0)
+    else:
+        w = jnp.where(member, vs[None, :], 0.0)
+    wsum = jnp.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    mean = (w @ boxes) / wsum  # (K, 4)
+    var = (w @ (boxes ** 2)) / wsum - mean ** 2
+    sig = jnp.sqrt(jnp.clip(var, 0))
+    lo_b = mean - sig
+    hi_b = mean + sig
+    voted = []
+    for c in range(4):
+        x = boxes[:, c]
+        inlier = (x[None, :] >= lo_b[:, c, None]) & (x[None, :] <= hi_b[:, c, None])
+        w2 = w * inlier
+        denom = w2.sum(axis=1)
+        voted_c = (w2 @ x) / jnp.maximum(denom, 1e-12)
+        voted.append(jnp.where(denom > 0, voted_c, mean[:, c]))
+    voted = jnp.stack(voted, axis=-1)  # (K, 4)
+
+    # emit kept seeds in index (= score) order into max_out fixed slots
+    rank = jnp.cumsum(keep) - 1  # rank among kept
+    slot = jnp.where(keep & (rank < max_out), rank, max_out)  # overflow -> dropped
+    out_boxes = jnp.zeros((max_out + 1, 4)).at[slot].set(jnp.where(keep[:, None], voted, 0.0))[:max_out]
+    out_scores = jnp.zeros((max_out + 1,)).at[slot].set(jnp.where(keep, cluster_scores, 0.0))[:max_out]
+    out_labels = jnp.full((max_out + 1,), -1, jnp.int32).at[slot].set(jnp.where(keep, labels, -1))[:max_out]
+    out_valid = jnp.zeros((max_out + 1,), bool).at[slot].set(keep)[:max_out]
+    return out_boxes, out_labels, out_scores, out_valid
+
+
 @functools.partial(jax.jit, static_argnames=("iou_threshold", "max_out"))
 def batched_nms_device(boxes, scores, labels, valid, *, iou_threshold: float = 0.6, max_out: int = 100):
     """Plain class-aware greedy NMS (the reference's ``batched_nms`` fallback

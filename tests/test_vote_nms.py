@@ -2,7 +2,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from radet_tpu.ops import vote_nms_device, vote_nms_numpy
+from radet_tpu.ops import vote_nms_device, vote_nms_device_fast, vote_nms_numpy
 
 
 def _random_dets(rng, n=60, num_labels=3):
@@ -45,6 +45,85 @@ def test_device_matches_oracle(rng, global_mode, iou_enable):
     np.testing.assert_allclose(db[:n], ob, rtol=1e-3, atol=1e-2)
     np.testing.assert_array_equal(dl[:n], ol)
     np.testing.assert_allclose(dsc[:n], osc, rtol=1e-5)
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+@pytest.mark.parametrize("iou_enable", [False, True])
+def test_fast_matches_oracle(rng, global_mode, iou_enable):
+    boxes, cluster, vote, labels = _random_dets(rng, n=80)
+    ob, ol, osc = vote_nms_numpy(
+        boxes, cluster, vote, labels, 0.5, iou_enable, 0.025, global_mode
+    )
+    db, dl, dsc, dv = vote_nms_device_fast(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.ones(len(boxes), bool),
+        iou_threshold=0.5,
+        max_out=60,
+        iou_enable=iou_enable,
+        sigma=0.025,
+        global_mode=global_mode,
+    )
+    db, dl, dsc, dv = map(np.asarray, (db, dl, dsc, dv))
+    n = int(dv.sum())
+    assert n == len(ob)
+    np.testing.assert_allclose(db[:n], ob, rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(dl[:n], ol)
+    np.testing.assert_allclose(dsc[:n], osc, rtol=1e-5)
+
+
+def test_fast_invalid_and_truncation(rng):
+    boxes, cluster, vote, labels = _random_dets(rng, n=40)
+    valid = np.ones(40, bool)
+    valid[25:] = False
+    ob, ol, osc = vote_nms_numpy(
+        boxes[:25], cluster[:25], vote[:25], labels[:25], 0.5, False, 0.025, False
+    )
+    k = min(3, len(ob))
+    db, dl, dsc, dv = vote_nms_device_fast(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.asarray(valid),
+        iou_threshold=0.5,
+        max_out=k,
+    )
+    np.testing.assert_allclose(np.asarray(db)[:k], ob[:k], rtol=1e-3, atol=1e-2)
+    assert int(np.asarray(dv).sum()) == k
+
+
+def test_fast_deep_chain(rng):
+    """Chained overlaps exercise multi-round fixed-point convergence."""
+    # boxes in a line, each overlapping only its neighbor (IoU ~ 0.54)
+    n = 12
+    boxes = np.stack(
+        [
+            10.0 * np.arange(n),
+            np.zeros(n),
+            10.0 * np.arange(n) + 40,
+            np.full(n, 40.0),
+        ],
+        -1,
+    ).astype(np.float32)
+    cluster = np.linspace(1.0, 0.5, n).astype(np.float32)  # descending
+    vote = np.ones(n, np.float32)
+    labels = np.zeros(n, np.int32)
+    ob, ol, osc = vote_nms_numpy(boxes, cluster, vote, labels, 0.5, False, 0.025, False)
+    db, dl, dsc, dv = vote_nms_device_fast(
+        jnp.asarray(boxes),
+        jnp.asarray(cluster),
+        jnp.asarray(vote),
+        jnp.asarray(labels),
+        jnp.ones(n, bool),
+        iou_threshold=0.5,
+        max_out=12,
+    )
+    m = int(np.asarray(dv).sum())
+    assert m == len(ob)
+    np.testing.assert_allclose(np.asarray(db)[:m], ob, rtol=1e-4, atol=1e-3)
 
 
 def test_invalid_slots_ignored(rng):
