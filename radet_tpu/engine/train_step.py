@@ -76,8 +76,13 @@ def build_train_step(
 
     def loss_fn(params, batch_stats, batch, assign):
         x = preprocess_images(batch["image"], mean, std, dtype)
-        outs = model.apply(
-            {"params": params, "batch_stats": batch_stats}, x, train=True
+        # batch_stats is mutable so norm_eval=False (live BatchNorm) works;
+        # with norm_eval=True (the RADet default) it passes through unchanged
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
         )
         cls_flat, reg_flat, iou_flat = flatten_head_outputs(*outs)
         losses = radet_loss(
@@ -96,15 +101,15 @@ def build_train_step(
             iou_loss_weight=lw["iou"],
         )
         total = losses["loss_cls"] + losses["loss_bbox"] + losses["loss_iou"]
-        return total, losses
+        return total, (losses, mutated.get("batch_stats", batch_stats))
 
     @jax.jit
     def train_step(state: TrainState, batch, rng_key):
         step_key = jax.random.fold_in(rng_key, state.step)
         assign = assign_batch(step_key, batch)
-        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.batch_stats, batch, assign
-        )
+        (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch, assign)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)
@@ -113,7 +118,7 @@ def build_train_step(
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
-            batch_stats=state.batch_stats,
+            batch_stats=new_batch_stats,
             opt_state=new_opt_state,
         )
         return new_state, metrics
