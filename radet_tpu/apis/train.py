@@ -46,6 +46,20 @@ def train_detector(
     logger = get_root_logger(osp.join(work_dir, f"train_{int(time.time())}.log"))
     seed = seed if seed is not None else int(cfg.get("seed", 0))
 
+    # multi-host: the jax-native replacement for the reference's
+    # pytorch/slurm/mpi launchers (tools/train.py:66-70) — coordinator
+    # address/process id come from the environment (JAX_COORDINATOR_ADDRESS
+    # or cloud-TPU metadata)
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("RADET_DISTRIBUTED"):
+        jax.distributed.initialize()
+        logger.info(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}"
+        )
+
+    from ..utils.env import env_report
+
+    logger.info("environment:\n" + env_report())
+
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     input_size = tuple(cfg.get("input_size", (480, 640)))
     variables = init_variables(model, input_size, seed)
