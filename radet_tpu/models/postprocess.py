@@ -237,15 +237,39 @@ def get_bboxes(
             labels = take(labels)
             valid = take(valid)
 
-        nms_fn = functools.partial(
-            vote_nms_device_fast if nms_impl == "fast" else vote_nms_device,
-            iou_threshold=iou_threshold,
-            max_out=max_per_img,
-            iou_enable=iou_enable,
-            sigma=sigma,
-            global_mode=(nms_type == "global_vote"),
-        )
-        ob, ol, osc, ov = jax.vmap(nms_fn)(boxes, cluster_score, vote_score, labels, valid)
+        if nms_impl == "pallas":
+            assert candidate_mode == "global", (
+                "nms_impl='pallas' requires candidate_mode='global' "
+                "(candidates must be globally score-sorted)"
+            )
+            from ..ops.pallas_nms import vote_nms_pallas
+
+            # the kernel expects candidates sorted by cluster score desc —
+            # the global top-k above provides exactly that
+            ob, ol, osc, ov = vote_nms_pallas(
+                boxes,
+                cluster_score,
+                vote_score,
+                labels,
+                valid,
+                iou_threshold=iou_threshold,
+                max_out=max_per_img,
+                iou_enable=iou_enable,
+                sigma=sigma,
+                global_mode=(nms_type == "global_vote"),
+            )
+        else:
+            nms_fn = functools.partial(
+                vote_nms_device_fast if nms_impl == "fast" else vote_nms_device,
+                iou_threshold=iou_threshold,
+                max_out=max_per_img,
+                iou_enable=iou_enable,
+                sigma=sigma,
+                global_mode=(nms_type == "global_vote"),
+            )
+            ob, ol, osc, ov = jax.vmap(nms_fn)(
+                boxes, cluster_score, vote_score, labels, valid
+            )
     else:
         ranked = cls_s * iou_s
         nms_fn = functools.partial(

@@ -1,0 +1,79 @@
+"""Pallas fused vote-NMS vs the sequential oracle (interpret mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radet_tpu.ops.pallas_nms import vote_nms_pallas
+from radet_tpu.ops.vote_nms import vote_nms_numpy
+
+K = 128  # kernel needs a multiple of 128
+
+
+def _sorted_dets(rng, n_real, num_labels=3):
+    centers = rng.uniform(50, 400, (8, 2))
+    idx = rng.randint(0, 8, n_real)
+    cx = centers[idx, 0] + rng.randn(n_real) * 3
+    cy = centers[idx, 1] + rng.randn(n_real) * 3
+    w = rng.uniform(40, 60, n_real)
+    h = rng.uniform(40, 60, n_real)
+    boxes = np.zeros((K, 4), np.float32)
+    boxes[:n_real] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+    cluster = np.zeros(K, np.float32)
+    cluster[:n_real] = np.sort(rng.uniform(0.1, 1.0, n_real))[::-1]  # sorted desc
+    vote = np.zeros(K, np.float32)
+    vote[:n_real] = rng.uniform(0.1, 1.0, n_real)
+    labels = np.zeros(K, np.int32)
+    labels[:n_real] = (idx % num_labels).astype(np.int32)
+    valid = np.zeros(K, bool)
+    valid[:n_real] = True
+    return boxes, cluster, vote, labels, valid
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+@pytest.mark.parametrize("iou_enable", [False, True])
+def test_pallas_matches_oracle(rng, global_mode, iou_enable):
+    batch = []
+    oracles = []
+    for _ in range(3):
+        boxes, cluster, vote, labels, valid = _sorted_dets(rng, n_real=60)
+        batch.append((boxes, cluster, vote, labels, valid))
+        oracles.append(
+            vote_nms_numpy(
+                boxes[:60], cluster[:60], vote[:60], labels[:60],
+                0.5, iou_enable, 0.025, global_mode,
+            )
+        )
+    stacked = [jnp.asarray(np.stack(x)) for x in zip(*batch)]
+    db, dl, dsc, dv = vote_nms_pallas(
+        *stacked,
+        iou_threshold=0.5,
+        max_out=50,
+        iou_enable=iou_enable,
+        sigma=0.025,
+        global_mode=global_mode,
+        interpret=True,
+    )
+    db, dl, dsc, dv = map(np.asarray, (db, dl, dsc, dv))
+    for i, (ob, ol, osc) in enumerate(oracles):
+        n = int(dv[i].sum())
+        assert n == len(ob)
+        np.testing.assert_allclose(db[i][:n], ob, rtol=1e-3, atol=1e-2)
+        np.testing.assert_array_equal(dl[i][:n], ol)
+        np.testing.assert_allclose(dsc[i][:n], osc, rtol=1e-5)
+
+
+def test_pallas_empty_input(rng):
+    boxes = np.zeros((1, K, 4), np.float32)
+    z = np.zeros((1, K), np.float32)
+    db, dl, dsc, dv = vote_nms_pallas(
+        jnp.asarray(boxes),
+        jnp.asarray(z),
+        jnp.asarray(z),
+        jnp.zeros((1, K), jnp.int32),
+        jnp.zeros((1, K), bool),
+        iou_threshold=0.65,
+        max_out=10,
+        interpret=True,
+    )
+    assert int(np.asarray(dv).sum()) == 0
