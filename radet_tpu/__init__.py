@@ -13,3 +13,24 @@ PyTorch/mmdetection reference (YangHai-1218/RADet):
 """
 
 __version__ = "0.1.0"
+
+# Respect the JAX_PLATFORMS environment variable even on machines whose
+# sitecustomize pins jax.config.jax_platforms (the config field otherwise
+# silently overrides the env var; on this harness that sends every
+# 'JAX_PLATFORMS=cpu' run through the single-chip TPU tunnel).
+def _respect_jax_platforms_env() -> None:
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if not env:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != env:
+            jax.config.update("jax_platforms", env)
+    except RuntimeError:
+        pass  # backends already initialized; too late to switch
+
+
+_respect_jax_platforms_env()

@@ -63,11 +63,13 @@ def train_detector(
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     input_size = tuple(cfg.get("input_size", (480, 640)))
     variables = init_variables(model, input_size, seed)
-    pretrained = cfg.model.get("pretrained")
-    if pretrained:
-        logger.info(f"loading pretrained weights from {pretrained}")
-        loaded = load_weights(pretrained, template=None)
-        variables = _merge_pretrained(variables, loaded, logger)
+    # model.pretrained: backbone/partial weights; load_from: full detector
+    # weights (the reference's load_from, e.g. mixpbr finetuning configs)
+    for source in (cfg.model.get("pretrained"), cfg.get("load_from")):
+        if source:
+            logger.info(f"loading weights from {source}")
+            loaded = load_weights(source, template=None)
+            variables = _merge_pretrained(variables, loaded, logger)
 
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     frozen_stages = int(cfg.model.backbone.get("frozen_stages", -1))
@@ -137,6 +139,7 @@ def train_detector(
     eval_interval = int(eval_cfg.get("interval", 10000)) if eval_cfg else 0
 
     rng_key = jax.random.PRNGKey(seed + 1)
+    best_score = float("-inf")
     it = iter(loader)
     t_log = time.time()
     start_step = int(state.step)
@@ -165,7 +168,27 @@ def train_detector(
             ckpt.save(step, jax.device_get(state), force=True)
             logger.info(f"checkpoint saved at step {step}")
         if eval_during_train and eval_interval and step % eval_interval == 0:
-            _run_eval(cfg, model, state, anchors, counts, logger)
+            metrics_eval = _run_eval(cfg, model, state, anchors, counts, logger)
+            # save_best (reference EvalHook save_best, eval_hooks.py:156-170)
+            save_best_key = (eval_cfg.get("save_best") if eval_cfg else None) or None
+            if metrics_eval and save_best_key:
+                key_name = f"bbox_{save_best_key}" if not str(save_best_key).startswith("bbox_") else save_best_key
+                score = metrics_eval.get(key_name)
+                if score is not None and score > best_score:
+                    best_score = score
+                    from ..engine.checkpoint import save_weights
+
+                    best_dir = osp.join(work_dir, "best_weights")
+                    import shutil
+
+                    shutil.rmtree(best_dir, ignore_errors=True)
+                    save_weights(
+                        best_dir,
+                        jax.device_get(
+                            {"params": state.params, "batch_stats": state.batch_stats}
+                        ),
+                    )
+                    logger.info(f"new best {key_name}={score:.4f} saved to {best_dir}")
 
     ckpt.save(total_iters, jax.device_get(state), force=True)
     ckpt.close()
@@ -177,7 +200,7 @@ def _run_eval(cfg, model, state, anchors, counts, logger):
         val_dataset = build_dataset(cfg, "val")
     except (FileNotFoundError, KeyError) as e:
         logger.warning(f"skipping eval: {e}")
-        return
+        return None
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = run_inference(
         model,
@@ -192,6 +215,7 @@ def _run_eval(cfg, model, state, anchors, counts, logger):
     )
     metrics = evaluate_results(val_dataset, results)
     logger.info("eval: " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()))
+    return metrics
 
 
 def _merge_pretrained(variables, loaded, logger):

@@ -65,32 +65,61 @@ def candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid):
     return in_box & in_range & gt_valid[None, :]
 
 
-def _sample_one_gt(key, probs, pool, positive_num, balance_sample=True):
+def _adaptive_k(anchor_sizes, pool, object_size, positive_num):
+    """Size-adaptive positive count (label_assignment.py:88-95): per anchor
+    level present in the pool, k ~= positive_num * sum(ratio_lvl *
+    exp((obj_size - anchor_size_lvl) / (2 * anchor_size_lvl)))."""
+    pool_f = pool.astype(jnp.float32)
+    n_pool = jnp.maximum(pool_f.sum(), 1.0)
+    dk = jnp.exp((object_size - anchor_sizes) / (2.0 * anchor_sizes))
+    dk = (pool_f * dk).sum() / n_pool
+    return jnp.asarray(positive_num * dk + 0.5, jnp.int32)
+
+
+def _sample_one_gt(
+    key,
+    probs,
+    pool,
+    k,
+    cap,
+    balance_sample=True,
+    by_distance=True,
+):
     """Sample positives for one GT from its non-negative pool.
 
     probs: (N,) sampling probability (already masked: 0 outside pool).
     pool: (N,) bool non-negative candidate pool.
-    Returns (counts (N,) float32 — sample multiplicity (with-replacement
-    branch) or 0/1 (without-replacement branch)).
+    k: number of positives to draw (may be traced, 1 <= k <= cap).
+    cap: static upper bound on k.
+    Returns counts (N,) float32 — sample multiplicity (with-replacement
+    branch) or 0/1 (without-replacement branch).
     """
     n_pool = pool.sum()
-    logits = jnp.where(pool, jnp.log(jnp.maximum(probs, EPS)), NEG_INF)
+    if by_distance:
+        logits = jnp.where(pool, jnp.log(jnp.maximum(probs, EPS)), NEG_INF)
+    else:
+        # uniform over the pool (random_sample_by_distance=False,
+        # label_assignment.py:113-114,120-121)
+        logits = jnp.where(pool, 0.0, NEG_INF)
 
     k_with, k_without = jax.random.split(key)
-    # WITH replacement: positive_num categorical draws; multiplicity = weight
-    draws = jax.random.categorical(k_with, logits, shape=(positive_num,))
+    # WITH replacement: k categorical draws; multiplicity = weight
+    draws = jax.random.categorical(k_with, logits, shape=(cap,))
+    draw_live = (jnp.arange(cap) < k).astype(jnp.float32)
     counts_with = (
-        jax.nn.one_hot(draws, logits.shape[0], dtype=jnp.float32).sum(0)
-    )
+        jax.nn.one_hot(draws, logits.shape[0], dtype=jnp.float32)
+        * draw_live[:, None]
+    ).sum(0)
     # WITHOUT replacement ∝ probs: Gumbel top-k
     gumbel = jax.random.gumbel(k_without, logits.shape)
     scores = jnp.where(pool, logits + gumbel, NEG_INF)
-    kth = jax.lax.top_k(scores, positive_num)[0][positive_num - 1]
+    sorted_scores = jax.lax.top_k(scores, cap)[0]
+    kth = jax.lax.dynamic_slice(sorted_scores, (jnp.clip(k - 1, 0),), (1,))[0]
     counts_without = (scores >= kth).astype(jnp.float32)
-    # guard: if pool smaller than positive_num the top-k picks everything valid
+    # guard: if pool smaller than k the top-k picks everything valid
     counts_without = counts_without * pool.astype(jnp.float32)
 
-    pool_small = n_pool < positive_num
+    pool_small = n_pool < k
     if not balance_sample:
         # without balance_sample a too-small pool is taken wholesale, weight 1
         # (label_assignment.py:115-116)
@@ -100,7 +129,16 @@ def _sample_one_gt(key, probs, pool, positive_num, balance_sample=True):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("positive_num", "neg_threshold", "max_gt", "balance_sample"),
+    static_argnames=(
+        "positive_num",
+        "neg_threshold",
+        "max_gt",
+        "balance_sample",
+        "adapt_positive_num",
+        "random_sample_by_distance",
+        "multiply_samplepro_for_weight",
+        "ambiguous_sample",
+    ),
 )
 def assign_labels(
     key,
@@ -114,6 +152,10 @@ def assign_labels(
     neg_threshold: float = 0.2,
     max_gt: int | None = None,
     balance_sample: bool = True,
+    adapt_positive_num: bool = False,
+    random_sample_by_distance: bool = True,
+    multiply_samplepro_for_weight: bool = False,
+    ambiguous_sample: str = "min_area",
 ):
     """Single-image assignment. vmap over the batch for training.
 
@@ -130,6 +172,13 @@ def assign_labels(
     g = gt_boxes.shape[0]
 
     cand = candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid)  # (N, G)
+    if ambiguous_sample == "max_dis":
+        # restrict each anchor to its maximum-distance GT (:158-161)
+        masked_dist = jnp.where(
+            cand, dist_vals, -jnp.inf
+        )
+        best_gt = jnp.argmax(masked_dist, axis=1)  # (N,)
+        cand = cand & (best_gt[:, None] == jnp.arange(g)[None, :])
     areas = jnp.where(
         gt_valid,
         (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
@@ -138,19 +187,37 @@ def assign_labels(
     order = jnp.argsort(areas)  # smallest-area first (:169-170)
 
     gt_keys = jax.random.split(key, g)
+    anchor_sizes = anchors[:, 2] - anchors[:, 0]
+    k_cap = positive_num * 4 if adapt_positive_num else positive_num
 
     def body(carry, gi):
         gt_idx, weight, claimed = carry
         is_valid = gt_valid[gi]
         # min_area ambiguity: only unclaimed anchors are visible (:177-179)
-        cand_g = cand[:, gi] & (~claimed) & is_valid
+        use_min_area = ambiguous_sample == "min_area"
+        cand_g = cand[:, gi] & is_valid
+        if use_min_area:
+            cand_g = cand_g & (~claimed)
         p_raw = jnp.clip(dist_vals[:, gi], EPS)  # (:187)
         p = jnp.where(cand_g, p_raw, 0.0)
         pmax = p.max()
         pool = cand_g & (p > neg_threshold * pmax)  # (:98)
         has_pool = pool.any()
 
-        counts = _sample_one_gt(gt_keys[gi], p, pool, positive_num, balance_sample)
+        if adapt_positive_num:
+            obj_size = jnp.maximum(
+                gt_boxes[gi, 2] - gt_boxes[gi, 0], gt_boxes[gi, 3] - gt_boxes[gi, 1]
+            )
+            k = jnp.clip(_adaptive_k(anchor_sizes, pool, obj_size, positive_num), 1, k_cap)
+        else:
+            k = jnp.asarray(positive_num, jnp.int32)
+        counts = _sample_one_gt(
+            gt_keys[gi], p, pool, k, k_cap, balance_sample, random_sample_by_distance
+        )
+        if multiply_samplepro_for_weight:
+            # multiplicity is additionally scaled by the raw distance value
+            # (:127-128)
+            counts = counts * p
         counts = jnp.where(has_pool, counts, 0.0)
 
         pos = counts > 0

@@ -221,6 +221,68 @@ class RandomBackground:
         return results
 
 
+class RandomHSV:
+    """Random hue/saturation/value scaling (color_aug.py:14-45)."""
+
+    def __init__(self, h_ratio: float, s_ratio: float, v_ratio: float, prob: float = 1.0):
+        self.h_ratio = h_ratio
+        self.s_ratio = s_ratio
+        self.v_ratio = v_ratio
+        self.prob = prob
+
+    def __call__(self, results):
+        if random.random() > self.prob:
+            return results
+        img = results["img"]
+        hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+        a = random.uniform(-1, 1) * self.h_ratio + 1
+        b = random.uniform(-1, 1) * self.s_ratio + 1
+        c = random.uniform(-1, 1) * self.v_ratio + 1
+        hsv[:, :, 0] *= a
+        hsv[:, :, 1] *= b
+        hsv[:, :, 2] *= c
+        if a >= 1:
+            hsv[:, :, 0] = hsv[:, :, 0].clip(None, 179)
+        if b >= 1:
+            hsv[:, :, 1] = hsv[:, :, 1].clip(None, 255)
+        if c >= 1:
+            hsv[:, :, 2] = hsv[:, :, 2].clip(None, 255)
+        results["img"] = cv2.cvtColor(hsv.astype(np.uint8), cv2.COLOR_HSV2RGB)
+        return results
+
+
+class RandomNoise:
+    """Additive gaussian noise (color_aug.py:49-67)."""
+
+    def __init__(self, noise_ratio: float, prob: float = 1.0):
+        self.noise_ratio = noise_ratio
+        self.prob = prob
+
+    def __call__(self, results):
+        if random.random() > self.prob:
+            return results
+        img = results["img"].astype(np.float32)
+        sigma = random.uniform(0, self.noise_ratio)
+        img = img + np.random.normal(0, sigma, img.shape) * 255
+        results["img"] = img.clip(0, 255).astype(np.uint8)
+        return results
+
+
+class RandomSmooth:
+    """Random box blur (color_aug.py:70-86)."""
+
+    def __init__(self, max_kernel_size: int = 7, prob: float = 1.0):
+        self.kernel_sizes = [i * 2 + 1 for i in range(max_kernel_size // 2 + 1)]
+        self.prob = prob
+
+    def __call__(self, results):
+        if random.random() > self.prob:
+            return results
+        k = random.choice(self.kernel_sizes)
+        results["img"] = cv2.blur(results["img"], (k, k))
+        return results
+
+
 class _PilEnhance:
     def __init__(self, enhance_name: str, p: float, factor_interval):
         self.enhance_name = enhance_name
@@ -372,6 +434,9 @@ _TRANSFORMS = {
     "Pad": Pad,
     "RandomBackground": RandomBackground,
     "CosyPoseAug": CosyPoseAug,
+    "RandomHSV": RandomHSV,
+    "RandomNoise": RandomNoise,
+    "RandomSmooth": RandomSmooth,
     "GenerateDistanceMap": GenerateDistanceMap,
     "SampleDistanceAtAnchors": SampleDistanceAtAnchors,
 }

@@ -49,6 +49,14 @@ def build_train_step(
     positive_num = int(assignment_cfg.get("positive_num", 10))
     neg_threshold = float(assignment_cfg.get("neg_threshold", 0.2))
     balance_sample = bool(assignment_cfg.get("balance_sample", True))
+    adapt_positive_num = bool(assignment_cfg.get("adapt_positive_num", False))
+    random_sample_by_distance = bool(
+        assignment_cfg.get("random_sample_by_distance", True)
+    )
+    multiply_samplepro_for_weight = bool(
+        assignment_cfg.get("multiply_samplepro_for_weight", False)
+    )
+    ambiguous_sample = str(assignment_cfg.get("ambiguous_sample", "min_area"))
     lw = dict(cls=1.0, bbox=2.0, iou=1.0)
     lw.update(loss_weights or {})
     anchors_j = jnp.asarray(anchors)
@@ -71,6 +79,10 @@ def build_train_step(
                 positive_num=positive_num,
                 neg_threshold=neg_threshold,
                 balance_sample=balance_sample,
+                adapt_positive_num=adapt_positive_num,
+                random_sample_by_distance=random_sample_by_distance,
+                multiply_samplepro_for_weight=multiply_samplepro_for_weight,
+                ambiguous_sample=ambiguous_sample,
             )
         )(keys, batch["gt_boxes"], batch["gt_valid"], batch["dist_vals"])
 

@@ -161,6 +161,36 @@ def test_sampling_follows_distance(rng):
     assert counts_hi > counts_lo * 3
 
 
+def test_assignment_option_variants():
+    """Exercise adapt_positive_num, uniform sampling, prob-weighting, and
+    max_dis ambiguity (reference label_assignment.py flags)."""
+    anchors, ranges, _ = _setup()
+    n = anchors.shape[0]
+    boxes = [[100, 100, 228, 228], [300, 200, 400, 300]]
+    gt_boxes, gt_labels, gt_valid, dist = _make_gts(boxes, [0, 1], 4, n, anchors)
+
+    res = assign_labels(
+        jax.random.PRNGKey(0),
+        jnp.asarray(anchors),
+        jnp.asarray(ranges),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(dist),
+        positive_num=10,
+        adapt_positive_num=True,
+        random_sample_by_distance=False,
+        multiply_samplepro_for_weight=True,
+        ambiguous_sample="max_dis",
+    )
+    gt_idx = np.asarray(res.gt_idx)
+    weight = np.asarray(res.weight)
+    assert (gt_idx == 0).any() and (gt_idx == 1).any()
+    assert np.isfinite(weight).all()
+    # with multiply_samplepro_for_weight the positive weights carry the
+    # (binary-mask) distance value factor -> still positive
+    assert (weight[gt_idx >= 0] > 0).all()
+
+
 def test_no_gt_image():
     anchors, ranges, _ = _setup()
     n = anchors.shape[0]
