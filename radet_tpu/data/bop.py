@@ -110,6 +110,7 @@ class BOPDataset:
         img_id_in_scene = int(osp.splitext(parts[-1])[0])
 
         gt_bboxes, gt_labels, gt_masks, gt_bboxes_ignore = [], [], [], []
+        gt_polys = []
         for i, ann in enumerate(anns):
             if ann.get("ignore", False):
                 continue
@@ -129,12 +130,14 @@ class BOPDataset:
                 gt_bboxes.append(bbox)
                 gt_labels.append(self.cat2label[ann["category_id"]])
                 gt_masks.append(MASK_PATH_TEMPLATE.format(scene_id, img_id_in_scene, i))
+                gt_polys.append(ann.get("segmentation"))
 
         return dict(
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(gt_labels, np.int64),
             bboxes_ignore=np.asarray(gt_bboxes_ignore, np.float32).reshape(-1, 4),
             masks=gt_masks,
+            segmentations=gt_polys if any(p is not None for p in gt_polys) else None,
             scene_id=scene_id,
             img_id_in_scene=img_id_in_scene,
         )

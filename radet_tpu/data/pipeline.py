@@ -55,12 +55,15 @@ class LoadImageFromFile:
 
 
 class LoadAnnotations:
-    """Loads bboxes/labels from ann_info; optionally per-instance BOP
-    visible-mask PNGs (reference loading.py:403-427)."""
+    """Loads bboxes/labels from ann_info; optionally per-instance masks —
+    from BOP visible-mask PNGs (reference loading.py:403-427) or rasterized
+    from COCO polygon segmentations when the annotations carry them
+    (poly2mask, reference loading.py with_mask path)."""
 
-    def __init__(self, with_bbox: bool = True, with_bop_mask: bool = False):
+    def __init__(self, with_bbox: bool = True, with_bop_mask: bool = False, poly2mask: bool = True):
         self.with_bbox = with_bbox
         self.with_bop_mask = with_bop_mask
+        self.poly2mask = poly2mask
 
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
         ann = results["ann_info"]
@@ -68,17 +71,31 @@ class LoadAnnotations:
         results["gt_labels"] = ann["labels"].copy()
         if self.with_bop_mask:
             h, w = results["img_info"]["height"], results["img_info"]["width"]
+            polys = ann.get("segmentations")
             masks = []
-            for mask_path in ann["masks"]:
-                path = osp.join(results.get("seg_prefix", ""), mask_path)
-                m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
-                if m is None:
-                    raise FileNotFoundError(path)
-                if m.ndim == 3:
-                    m = m[..., 0]
-                mx = m.max()
-                m = (m // mx if mx > 0 else m).astype(np.uint8)
-                masks.append(m)
+            if polys is not None and self.poly2mask:
+                for obj_polys in polys:
+                    m = np.zeros((h, w), np.uint8)
+                    if obj_polys:
+                        pts = [
+                            np.asarray(p, np.float64).reshape(-1, 2).round().astype(np.int32)
+                            for p in obj_polys
+                            if len(p) >= 6
+                        ]
+                        if pts:
+                            cv2.fillPoly(m, pts, 1)
+                    masks.append(m)
+            else:
+                for mask_path in ann["masks"]:
+                    path = osp.join(results.get("seg_prefix", ""), mask_path)
+                    m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                    if m is None:
+                        raise FileNotFoundError(path)
+                    if m.ndim == 3:
+                        m = m[..., 0]
+                    mx = m.max()
+                    m = (m // mx if mx > 0 else m).astype(np.uint8)
+                    masks.append(m)
             if masks:
                 results["gt_masks"] = np.stack(masks, 0)
             else:

@@ -175,8 +175,13 @@ def get_bboxes(
     test_cfg: dict,
     normalizer: float = 1.0 / 8.0,
     rescale: bool = True,
+    with_nms: bool = True,
 ) -> Detections:
-    """Full batched postprocessing; returns fixed-size Detections."""
+    """Full batched postprocessing; returns fixed-size Detections.
+
+    ``with_nms=False`` returns the decoded candidate set (scores = cls*iou,
+    no suppression) — the reference's proposal path for downstream pose
+    stages (radet_head.py:165-169)."""
     nms_cfg = dict(test_cfg.get("nms", {"type": "vote", "iou_threshold": 0.65}))
     nms_type = nms_cfg.pop("type", "vote")
     score_thr = float(test_cfg.get("score_thr", 0.05))
@@ -214,6 +219,18 @@ def get_bboxes(
         )
     if rescale:
         boxes = boxes / scale_factors[:, None, :]
+
+    # min_bbox_size filter (test_cfg.min_bbox_size, radet configs set 0)
+    min_bbox_size = float(test_cfg.get("min_bbox_size", 0))
+    if min_bbox_size > 0:
+        wh_ok = ((boxes[..., 2] - boxes[..., 0]) >= min_bbox_size) & (
+            (boxes[..., 3] - boxes[..., 1]) >= min_bbox_size
+        )
+        valid = valid & wh_ok
+
+    if not with_nms:
+        scores = cls_s * iou_s
+        return Detections(boxes=boxes, scores=scores, labels=labels, valid=valid)
 
     iou_threshold = float(nms_cfg.pop("iou_threshold", 0.6))
     if nms_type in ("vote", "global_vote"):
