@@ -28,7 +28,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REFERENCE_GPU_IPS = 40.0  # documented assumption, see module docstring
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", 128))
 WARMUP = 3
 ITERS = 20
 
@@ -86,7 +86,7 @@ def main():
     print(
         json.dumps(
             dict(
-                metric="images/sec/chip (r50_ycbv_pbr e2e inference, batch 32, 480x640, bf16)",
+                metric=f"images/sec/chip (r50_ycbv_pbr e2e inference, batch {BATCH}, 480x640, bf16)",
                 value=round(ips, 1),
                 unit="img/s",
                 vs_baseline=round(ips / REFERENCE_GPU_IPS, 2),
