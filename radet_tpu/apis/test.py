@@ -17,7 +17,7 @@ import numpy as np
 from ..data.loader import DataLoader, collate
 from ..engine.train_step import build_infer_step
 from ..evaluation.coco_eval import COCOEvaluator
-from ..parallel.mesh import batch_sharding, create_mesh, shard_batch
+from ..parallel.mesh import batch_sharding, create_mesh, replicated_sharding, shard_batch
 from ..utils.logging import get_root_logger
 from .common import build_dataset, build_model_and_anchors, normalizer_from_cfg
 
@@ -193,9 +193,20 @@ def test_from_config(
     batch_size: Optional[int] = None,
     fmt_only: bool = False,
 ):
-    """Config-driven test entry used by tools/test.py."""
+    """Config-driven test entry used by tools/test.py.
+
+    Inference is data-parallel over all local devices that divide the batch
+    (the multi_gpu_test analogue, reference apis/test.py:69)."""
+    import jax
+
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     dataset = build_dataset(cfg, split)
+    batch_size = batch_size or int(cfg.data.get("samples_per_gpu", 8))
+    n_dev = len(jax.devices())
+    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
+    if mesh is not None:
+        variables = jax.device_put(variables, replicated_sharding(mesh))
     results = run_inference(
         model,
         variables,
@@ -204,9 +215,10 @@ def test_from_config(
         level_counts=counts,
         img_norm=cfg.img_norm_cfg.to_dict(),
         test_cfg=cfg.test_cfg.to_dict(),
-        batch_size=batch_size or int(cfg.data.get("samples_per_gpu", 8)),
+        batch_size=batch_size,
         normalizer=normalizer_from_cfg(cfg),
         aug_flip=bool(cfg.test_cfg.get("flip_tta", False)),
+        mesh=mesh,
     )
     if fmt_only:
         return dataset, results, None

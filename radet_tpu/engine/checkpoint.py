@@ -27,7 +27,10 @@ class CheckpointManager:
             ),
         )
 
-    def save(self, step: int, state, force: bool = False) -> bool:
+    def save(self, step: int, state, force: bool = False, wait: bool = False) -> bool:
+        """Asynchronous by default: the write overlaps subsequent training
+        steps; ``close()`` (and orbax itself, before a newer save) drains
+        pending writes."""
         if not force and (step % self.interval != 0):
             return False
         payload = dict(
@@ -37,10 +40,12 @@ class CheckpointManager:
             step=np.asarray(state.step),
         )
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
-        self._mgr.wait_until_finished()
+        if wait:
+            self._mgr.wait_until_finished()
         return True
 
     def latest_step(self) -> Optional[int]:
+        self._mgr.wait_until_finished()
         return self._mgr.latest_step()
 
     def restore(self, state, step: Optional[int] = None):
@@ -63,6 +68,7 @@ class CheckpointManager:
         )
 
     def close(self):
+        self._mgr.wait_until_finished()
         self._mgr.close()
 
 
