@@ -34,3 +34,23 @@ def _respect_jax_platforms_env() -> None:
 
 
 _respect_jax_platforms_env()
+
+
+def _maybe_enable_compile_cache() -> None:
+    """Opt-in persistent XLA compilation cache (RADET_COMPILE_CACHE=<dir>):
+    repeated tool invocations then skip the multi-minute first compile."""
+    import os
+
+    cache_dir = os.environ.get("RADET_COMPILE_CACHE")
+    if not cache_dir:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", os.path.expanduser(cache_dir))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except (RuntimeError, AttributeError):
+        pass
+
+
+_maybe_enable_compile_cache()

@@ -165,11 +165,13 @@ def assign_labels(
         regress_ranges: (N, 2) (constant).
         gt_boxes: (G, 4) xyxy, padded.
         gt_valid: (G,) bool.
-        dist_vals: (N, G) float distance-map value at each anchor center.
+        dist_vals: (N, G) distance-map value at each anchor center (any
+            float dtype; upcast to f32 internally).
     Returns AssignResult(gt_idx (N,), weight (N,)).
     """
     n = anchors.shape[0]
     g = gt_boxes.shape[0]
+    dist_vals = dist_vals.astype(jnp.float32)
 
     cand = candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid)  # (N, G)
     if ambiguous_sample == "max_dis":

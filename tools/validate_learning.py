@@ -29,6 +29,12 @@ def main():
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--min-map50", type=float, default=0.5)
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--img-size", type=int, nargs=2, default=(128, 160), metavar=("H", "W"))
+    p.add_argument("--feat", type=int, default=64)
+    p.add_argument("--stacked-convs", type=int, default=2)
+    p.add_argument("--num-classes", type=int, default=3)
+    p.add_argument("--dtype", default="float32")
+    p.add_argument("--workers", type=int, default=4)
     args = p.parse_args()
 
     if args.cpu:
@@ -45,18 +51,20 @@ def main():
 
     logger = get_root_logger()
     tmp = tempfile.mkdtemp(prefix="radet_learn_")
+    h, w = args.img_size
     make_synthetic_bop(
-        tmp, num_scenes=1, images_per_scene=args.images, img_hw=(128, 160),
-        num_classes=3, max_objects=3,
+        tmp, num_scenes=1, images_per_scene=args.images, img_hw=(h, w),
+        num_classes=args.num_classes, max_objects=3,
     )
     cfg_dict = dict(
         img_norm_cfg=dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375]),
         model=dict(
             type="RADet",
             backbone=dict(depth=args.depth, out_indices=(0, 1, 2, 3), frozen_stages=-1, norm_eval=False),
-            neck=dict(out_channels=64, start_level=1, num_outs=5),
+            neck=dict(out_channels=args.feat, start_level=1, num_outs=5),
             bbox_head=dict(
-                num_classes=3, in_channels=64, stacked_convs=2, feat_channels=64,
+                num_classes=args.num_classes, in_channels=args.feat,
+                stacked_convs=args.stacked_convs, feat_channels=args.feat,
                 anchor_generator=dict(ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
                                       strides=[8, 16, 32, 64, 128]),
                 bbox_coder=dict(type="TBLRBBoxCoder", normalizer=1 / 8),
@@ -76,18 +84,18 @@ def main():
         grad_clip=dict(max_norm=35.0),
         log_config=dict(interval=50),
         seed=0,
-        compute_dtype="float32",
-        input_size=(128, 160),
+        compute_dtype=args.dtype,
+        input_size=(h, w),
         data=dict(
             samples_per_gpu=args.batch,
-            workers_per_gpu=4,
+            workers_per_gpu=args.workers,
             train=dict(
                 ann_file=osp.join(tmp, "detector_annotations/train_pbr.json"),
                 img_prefix=osp.join(tmp, "train_pbr/"),
                 pipeline=[
                     dict(type="LoadImageFromFile"),
                     dict(type="LoadAnnotations", with_bbox=True, with_bop_mask=True),
-                    dict(type="Resize", img_scale=(160, 128), keep_ratio=True),
+                    dict(type="Resize", img_scale=(w, h), keep_ratio=True),
                     dict(type="RandomFlip", flip_ratio=0.5),
                     dict(type="GenerateDistanceMap"),
                     dict(type="SampleDistanceAtAnchors"),
@@ -99,7 +107,7 @@ def main():
                 img_prefix=osp.join(tmp, "train_pbr/"),
                 pipeline=[
                     dict(type="LoadImageFromFile"),
-                    dict(type="Resize", img_scale=(160, 128), keep_ratio=True),
+                    dict(type="Resize", img_scale=(w, h), keep_ratio=True),
                     dict(type="Pad", size_divisor=32),
                 ],
             ),
