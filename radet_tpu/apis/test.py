@@ -60,6 +60,33 @@ def run_inference(
     results: List[dict] = []
     t_start = time.time()
     n_images = 0
+    pending = None  # (det device arrays, batch, real) — overlap readback
+
+    def _drain(det, batch, real):
+        nonlocal n_images
+        boxes, scores, labels, valid = (
+            np.asarray(det.boxes),
+            np.asarray(det.scores),
+            np.asarray(det.labels),
+            np.asarray(det.valid),
+        )
+        if aug_flip:
+            boxes, scores, labels, valid = _merge_flip_aug(
+                infer, variables, batch, batch, test_cfg,
+                boxes, scores, labels, valid,
+            )
+        for i in range(real):
+            keep = valid[i] & (scores[i] >= score_thr_keep)
+            results.append(
+                dict(
+                    boxes=boxes[i][keep],
+                    scores=scores[i][keep],
+                    labels=labels[i][keep],
+                    img_id=int(batch["img_id"][i]),
+                )
+            )
+        n_images += real
+
     for bi, batch in enumerate(loader):
         real = batch["image"].shape[0]
         if real < batch_size:  # pad to static batch
@@ -82,31 +109,15 @@ def run_inference(
         det = infer(
             variables, inputs["image"], inputs["img_shape"], inputs["scale_factor"]
         )
-        boxes, scores, labels, valid = (
-            np.asarray(det.boxes),
-            np.asarray(det.scores),
-            np.asarray(det.labels),
-            np.asarray(det.valid),
-        )
-        if aug_flip:
-            boxes, scores, labels, valid = _merge_flip_aug(
-                infer, variables, batch, inputs, test_cfg,
-                boxes, scores, labels, valid,
-            )
-        for i in range(real):
-            keep = valid[i] & (scores[i] >= score_thr_keep)
-            results.append(
-                dict(
-                    boxes=boxes[i][keep],
-                    scores=scores[i][keep],
-                    labels=labels[i][keep],
-                    img_id=int(batch["img_id"][i]),
-                )
-            )
-        n_images += real
+        # convert the PREVIOUS batch's detections while this one computes
+        if pending is not None:
+            _drain(*pending)
+        pending = (det, batch, real)
         if log_interval and (bi + 1) % log_interval == 0:
-            ips = n_images / (time.time() - t_start)
+            ips = max(n_images, 1) / (time.time() - t_start)
             logger.info(f"inference: {n_images}/{len(dataset)} images ({ips:.1f} img/s)")
+    if pending is not None:
+        _drain(*pending)
     dt = time.time() - t_start
     if n_images:
         logger.info(f"inference done: {n_images} images in {dt:.1f}s ({n_images / dt:.1f} img/s)")

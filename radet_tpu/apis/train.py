@@ -59,6 +59,11 @@ def train_detector(
     from ..utils.env import env_report
 
     logger.info("environment:\n" + env_report())
+    # dump the resolved config into the work dir (reference tools/train.py:129)
+    try:
+        cfg.dump(osp.join(work_dir, "config.py"))
+    except Exception as e:  # noqa: BLE001 - non-fatal
+        logger.warning(f"config dump failed: {e}")
 
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     input_size = tuple(cfg.get("input_size", (480, 640)))

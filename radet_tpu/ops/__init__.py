@@ -1,4 +1,11 @@
-from .losses import sigmoid_focal_loss, giou_loss, bce_with_logits
+from .losses import (
+    accuracy,
+    bce_with_logits,
+    giou_loss,
+    l1_loss,
+    sigmoid_focal_loss,
+    smooth_l1_loss,
+)
 from .vote_nms import (
     batched_nms_device,
     vote_nms_device,
@@ -10,6 +17,9 @@ __all__ = [
     "sigmoid_focal_loss",
     "giou_loss",
     "bce_with_logits",
+    "smooth_l1_loss",
+    "l1_loss",
+    "accuracy",
     "vote_nms_device",
     "vote_nms_device_fast",
     "vote_nms_numpy",

@@ -76,3 +76,32 @@ def bce_with_logits(logits, targets, weight=None, avg_factor=None, loss_weight: 
     if avg_factor is not None:
         total = total / jnp.maximum(avg_factor, 1e-12)
     return total * loss_weight
+
+
+def smooth_l1_loss(pred, target, beta: float = 1.0, weight=None, avg_factor=None, loss_weight: float = 1.0):
+    """Smooth L1 (reference losses/smooth_l1_loss.py semantics)."""
+    diff = jnp.abs(pred - target)
+    loss = jnp.where(diff < beta, 0.5 * diff * diff / beta, diff - 0.5 * beta)
+    if weight is not None:
+        loss = loss * weight
+    total = loss.sum()
+    if avg_factor is not None:
+        total = total / jnp.maximum(avg_factor, 1e-12)
+    return total * loss_weight
+
+
+def l1_loss(pred, target, weight=None, avg_factor=None, loss_weight: float = 1.0):
+    loss = jnp.abs(pred - target)
+    if weight is not None:
+        loss = loss * weight
+    total = loss.sum()
+    if avg_factor is not None:
+        total = total / jnp.maximum(avg_factor, 1e-12)
+    return total * loss_weight
+
+
+def accuracy(logits, labels, topk: int = 1):
+    """Top-k classification accuracy (reference losses/accuracy.py)."""
+    top = jnp.argsort(-logits, axis=-1)[..., :topk]
+    correct = (top == labels[..., None]).any(axis=-1)
+    return correct.mean()
