@@ -17,11 +17,11 @@ from .common import build_model_and_anchors, init_variables, normalizer_from_cfg
 class Detector:
     """Bundled (model, variables, compiled infer step) handle."""
 
-    def __init__(self, cfg, variables):
+    def __init__(self, cfg, variables=None):
         self.cfg = cfg
         model, anchors, ranges, counts = build_model_and_anchors(cfg)
         self.model = model
-        self.variables = variables
+        self.variables = variables  # may be attached after construction
         self.input_size = tuple(cfg.get("input_size", (480, 640)))
         self.classes = tuple(cfg.data.test.get("classes", ()) or ())
         self._infer = build_infer_step(
@@ -36,11 +36,12 @@ class Detector:
 
 def init_detector(config, checkpoint: Optional[str] = None, cfg_options=None) -> Detector:
     cfg = config if isinstance(config, Config) else Config.fromfile(config, cfg_options)
-    model, _, _, _ = build_model_and_anchors(cfg)
-    variables = init_variables(model, tuple(cfg.get("input_size", (480, 640))))
+    detector = Detector(cfg, variables=None)
+    variables = init_variables(detector.model, detector.input_size)
     if checkpoint:
         variables = load_weights(checkpoint, template=variables)
-    return Detector(cfg, variables)
+    detector.variables = variables
+    return detector
 
 
 def inference_detector(detector: Detector, imgs) -> List[Dict[str, np.ndarray]]:

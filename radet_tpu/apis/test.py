@@ -72,7 +72,7 @@ def run_inference(
         )
         if aug_flip:
             boxes, scores, labels, valid = _merge_flip_aug(
-                infer, variables, batch, batch, test_cfg,
+                infer, variables, batch, test_cfg,
                 boxes, scores, labels, valid,
             )
         for i in range(real):
@@ -124,7 +124,7 @@ def run_inference(
     return results
 
 
-def _merge_flip_aug(infer, variables, batch, inputs, test_cfg,
+def _merge_flip_aug(infer, variables, batch, test_cfg,
                     boxes, scores, labels, valid):
     """Horizontal-flip test-time augmentation.
 

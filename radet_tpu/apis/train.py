@@ -107,10 +107,18 @@ def train_detector(
         interval=int(ckpt_cfg.get("interval", 10000)) if ckpt_cfg else 10000,
     )
     if resume_from:
-        restored = ckpt.restore(state)
+        if resume_from not in ("auto", True) and osp.isdir(str(resume_from)):
+            # explicit checkpoint directory (possibly another run's work dir)
+            src = CheckpointManager(str(resume_from))
+            restored = src.restore(state)
+            src.close()
+        else:
+            restored = ckpt.restore(state)
         if restored is not None:
             state = restored
             logger.info(f"resumed from step {int(state.step)}")
+        else:
+            logger.warning(f"resume requested but no checkpoint found ({resume_from})")
 
     train_step = build_train_step(
         model,
@@ -145,6 +153,7 @@ def train_detector(
 
     rng_key = jax.random.PRNGKey(seed + 1)
     best_score = float("-inf")
+    last_saved = -1
     it = iter(loader)
     t_log = time.time()
     start_step = int(state.step)
@@ -171,6 +180,7 @@ def train_detector(
             )
         if ckpt.interval and step % ckpt.interval == 0:
             ckpt.save(step, jax.device_get(state), force=True)
+            last_saved = step
             logger.info(f"checkpoint saved at step {step}")
         if eval_during_train and eval_interval and step % eval_interval == 0:
             metrics_eval = _run_eval(cfg, model, state, anchors, counts, logger)
@@ -195,7 +205,8 @@ def train_detector(
                     )
                     logger.info(f"new best {key_name}={score:.4f} saved to {best_dir}")
 
-    ckpt.save(total_iters, jax.device_get(state), force=True)
+    if last_saved != total_iters:
+        ckpt.save(total_iters, jax.device_get(state), force=True)
     ckpt.close()
     return state
 

@@ -100,6 +100,7 @@ class DataLoader:
 
             executor = ThreadPoolExecutor(max_workers=self.num_workers)
             window = max(self.num_workers * 2, self.batch_size * (self.prefetch_batches + 1))
+            error = None
             try:
                 stream = self._index_stream()
                 pending: deque = deque()
@@ -120,8 +121,10 @@ class DataLoader:
                     if len(current) == self.batch_size:
                         out_q.put(collate(current))
                         current = []
+            except BaseException as e:  # noqa: BLE001 - re-raised in consumer
+                error = e
             finally:
-                out_q.put(None)
+                out_q.put(error)  # None = clean end; exception = propagate
                 executor.shutdown(wait=False, cancel_futures=True)
 
         thread = threading.Thread(target=producer, daemon=True)
@@ -131,6 +134,8 @@ class DataLoader:
                 batch = out_q.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise RuntimeError("DataLoader worker failed") from batch
                 yield batch
         finally:
             stop.set()

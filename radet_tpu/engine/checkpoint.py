@@ -8,6 +8,7 @@ apis/train.py:165-168). ``save``/``restore`` cover full training state
 
 from __future__ import annotations
 
+import os
 import os.path as osp
 from typing import Any, Dict, Optional
 
@@ -79,8 +80,48 @@ def save_weights(path: str, variables: Dict[str, Any]):
     ckptr.wait_until_finished()
 
 
+def _resolve_checkpoint_dir(path: str) -> str:
+    """Accept any of: a StandardCheckpointer dir, a CheckpointManager step dir
+    (<root>/<step>), or a CheckpointManager root (<root>) — resolving the
+    latter two to the actual item directory containing _METADATA."""
+    path = osp.abspath(path)
+    if osp.exists(osp.join(path, "_METADATA")):
+        return path
+    if osp.exists(osp.join(path, "default", "_METADATA")):
+        return osp.join(path, "default")
+    # manager root: pick the latest numeric step subdir
+    steps = sorted(
+        (int(d) for d in os.listdir(path) if d.isdigit()), reverse=True
+    ) if osp.isdir(path) else []
+    for step in steps:
+        cand = osp.join(path, str(step), "default")
+        if osp.exists(osp.join(cand, "_METADATA")):
+            return cand
+        cand = osp.join(path, str(step))
+        if osp.exists(osp.join(cand, "_METADATA")):
+            return cand
+    raise FileNotFoundError(
+        f"no orbax checkpoint found at {path} (looked for _METADATA in the "
+        f"directory, <dir>/default, and <dir>/<step>/default)"
+    )
+
+
 def load_weights(path: str, template: Dict[str, Any] | None = None) -> Dict[str, Any]:
+    """Weights-only restore. ``path`` may be a save_weights dir, a
+    CheckpointManager step dir, or a CheckpointManager root (latest step).
+    Full-train-state checkpoints are reduced to their model variables."""
+    resolved = _resolve_checkpoint_dir(path)
     ckptr = ocp.StandardCheckpointer()
-    if template is not None:
-        return ckptr.restore(osp.abspath(path), target=template)
-    return ckptr.restore(osp.abspath(path))
+    restored = ckptr.restore(resolved) if template is None else None
+    if restored is None:
+        try:
+            return ckptr.restore(resolved, target=template)
+        except (ValueError, KeyError):
+            # maybe a full TrainState payload; restore untyped then extract
+            restored = ckptr.restore(resolved)
+    if isinstance(restored, dict) and "params" in restored and "opt_state" in restored:
+        restored = {
+            "params": restored["params"],
+            "batch_stats": restored.get("batch_stats", {}),
+        }
+    return restored

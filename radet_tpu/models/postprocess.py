@@ -217,16 +217,17 @@ def get_bboxes(
             nms_pre=nms_pre,
             normalizer=normalizer,
         )
-    if rescale:
-        boxes = boxes / scale_factors[:, None, :]
-
-    # min_bbox_size filter (test_cfg.min_bbox_size, radet configs set 0)
+    # min_bbox_size filter in network-input coordinates, BEFORE rescale
+    # (mmdet filters pre-rescale)
     min_bbox_size = float(test_cfg.get("min_bbox_size", 0))
     if min_bbox_size > 0:
         wh_ok = ((boxes[..., 2] - boxes[..., 0]) >= min_bbox_size) & (
             (boxes[..., 3] - boxes[..., 1]) >= min_bbox_size
         )
         valid = valid & wh_ok
+
+    if rescale:
+        boxes = boxes / scale_factors[:, None, :]
 
     if not with_nms:
         scores = cls_s * iou_s
@@ -242,9 +243,13 @@ def get_bboxes(
         sigma = float(nms_cfg.pop("sigma", 0.025))
 
         k = boxes.shape[1]
-        if nms_impl == "fast" and nms_topk < k:
+        # reduce to the top nms_topk by CLUSTER score; the pallas kernel
+        # additionally requires cluster-score-descending index order (the
+        # candidates arrive sorted by cls score only), so it always sorts here
+        if (nms_impl == "fast" and nms_topk < k) or nms_impl == "pallas":
+            kk = min(nms_topk, k)
             masked = jnp.where(valid, cluster_score, NEG_INF)
-            _, top_idx = jax.lax.top_k(masked, nms_topk)  # (B, nms_topk)
+            _, top_idx = jax.lax.top_k(masked, kk)  # (B, kk) sorted desc
             take = lambda a: jnp.take_along_axis(a, top_idx, axis=1)
             boxes = jnp.take_along_axis(
                 boxes, top_idx[..., None].repeat(4, -1), axis=1

@@ -1,0 +1,116 @@
+"""Regression tests for review findings: checkpoint-path resolution, loader
+error propagation, min_bbox_size coordinate space, explicit resume paths."""
+
+import numpy as np
+import pytest
+
+
+def test_load_weights_resolves_manager_layouts(tmp_path):
+    import jax.numpy as jnp
+
+    from radet_tpu.engine.checkpoint import (
+        CheckpointManager,
+        load_weights,
+        save_weights,
+    )
+    from radet_tpu.engine.train_step import TrainState
+
+    params = {"w": np.arange(4.0, dtype=np.float32)}
+    state = TrainState(
+        step=jnp.asarray(7, jnp.int32),
+        params=params,
+        batch_stats={},
+        opt_state={"m": np.zeros(4, np.float32)},
+    )
+    root = str(tmp_path / "checkpoints")
+    mgr = CheckpointManager(root, interval=1)
+    mgr.save(7, state, force=True, wait=True)
+    mgr.close()
+
+    # manager ROOT (README quick-start / mixpbr load_from usage)
+    w = load_weights(root)
+    np.testing.assert_allclose(np.asarray(w["params"]["w"]), params["w"])
+    assert "opt_state" not in w  # reduced to model variables
+    # explicit step dir
+    w2 = load_weights(f"{root}/7")
+    np.testing.assert_allclose(np.asarray(w2["params"]["w"]), params["w"])
+    # save_weights layout still works
+    wdir = str(tmp_path / "weights_only")
+    save_weights(wdir, {"params": params, "batch_stats": {}})
+    w3 = load_weights(wdir)
+    np.testing.assert_allclose(np.asarray(w3["params"]["w"]), params["w"])
+    # missing path raises instead of silently returning junk
+    with pytest.raises(FileNotFoundError):
+        load_weights(str(tmp_path / "nope"))
+
+
+def test_loader_propagates_worker_errors():
+    from radet_tpu.data.loader import DataLoader
+
+    class Broken:
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise FileNotFoundError("missing mask png")
+            return {"x": np.zeros(2, np.float32)}
+
+    loader = DataLoader(Broken(), batch_size=2, shuffle=False, num_workers=2)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        for _ in loader:
+            pass
+
+
+def test_min_bbox_size_filters_in_input_coords():
+    import jax.numpy as jnp
+
+    from radet_tpu.core import generate_anchors
+    from radet_tpu.models.postprocess import get_bboxes
+
+    anchors, _, _, counts = generate_anchors((128, 160))
+    sizes = [(16, 20), (8, 10), (4, 5), (2, 3), (1, 2)]
+    cls_list = [np.full((1, h, w, 1), -10.0, np.float32) for h, w in sizes]
+    reg_list = [np.zeros((1, h, w, 4), np.float32) for h, w in sizes]
+    iou_list = [np.zeros((1, h, w, 1), np.float32) for h, w in sizes]
+    cls_list[0][0, 5, 6, 0] = 4.0
+    reg_list[0][0, 5, 6] = [2.0, 3.0, 1.0, 2.0]  # 24x40 in input coords
+    level_anchors = np.split(anchors, np.cumsum(counts)[:-1])
+    cfg = dict(nms_pre=1000, score_thr=0.05, max_per_img=5, min_bbox_size=20,
+               nms=dict(type="vote", iou_threshold=0.65))
+    # scale_factor 2: box is 12x20 in ORIGINAL coords but 24x40 in input
+    # coords -> the reference filters pre-rescale, so it must survive
+    det = get_bboxes(
+        [jnp.asarray(x) for x in cls_list],
+        [jnp.asarray(x) for x in reg_list],
+        [jnp.asarray(x) for x in iou_list],
+        level_anchors,
+        jnp.asarray([[128.0, 160.0]]),
+        jnp.full((1, 4), 2.0),
+        test_cfg=cfg,
+    )
+    assert int(np.asarray(det.valid).sum()) == 1
+
+
+def test_resume_from_explicit_path(tmp_path):
+    """--resume-from <other_dir> restores that checkpoint, not work_dir's."""
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.engine.checkpoint import CheckpointManager
+    from radet_tpu.engine.train_step import TrainState
+
+    params = {"w": np.full(3, 5.0, np.float32)}
+    state = TrainState(jnp.asarray(42, jnp.int32), params, {}, {"m": np.zeros(3, np.float32)})
+    other = str(tmp_path / "other_run" / "checkpoints")
+    mgr = CheckpointManager(other, interval=1)
+    mgr.save(42, state, force=True, wait=True)
+    mgr.close()
+
+    # template with different values
+    fresh = TrainState(jnp.asarray(0, jnp.int32), {"w": np.zeros(3, np.float32)}, {}, {"m": np.ones(3, np.float32)})
+    src = CheckpointManager(other)
+    restored = src.restore(fresh)
+    src.close()
+    assert int(restored.step) == 42
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), 5.0)

@@ -36,7 +36,7 @@ def test_flip_merge_unflips_and_fuses():
     )
     test_cfg = dict(nms=dict(iou_threshold=0.5), max_per_img=5)
     ob, osc, ol, ov = _merge_flip_aug(
-        fake_infer, None, batch, batch, test_cfg,
+        fake_infer, None, batch, test_cfg,
         base_boxes, base_scores, base_labels, base_valid,
     )
     assert ov[0].sum() == 1  # the two detections fused into one cluster
