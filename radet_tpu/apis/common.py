@@ -13,9 +13,13 @@ from ..data.bop import BOPDataset
 from ..models.builder import build_detector
 
 
-def anchor_cfg_from_model(model_cfg: Dict) -> AnchorConfig:
+def anchor_cfg_from_model(model_cfg: Dict, label_assignment_cfg: Dict | None = None) -> AnchorConfig:
     head = model_cfg.get("bbox_head", {})
-    agen = head.get("anchor_generator", {})
+    agen = dict(head.get("anchor_generator", {}))
+    # per-level regress ranges live with the assignment config (reference
+    # LabelAssignment ctor, label_assignment.py:30-40)
+    if label_assignment_cfg and "regress_ranges" in label_assignment_cfg:
+        agen["regress_ranges"] = label_assignment_cfg["regress_ranges"]
     return AnchorConfig.from_cfg(agen)
 
 
@@ -24,8 +28,10 @@ def build_model_and_anchors(cfg) -> Tuple[Any, np.ndarray, np.ndarray, list]:
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
     model = build_detector(model_cfg, dtype=cfg.get("compute_dtype", "float32"))
     input_size = tuple(cfg.get("input_size", (480, 640)))
+    la = cfg.get("label_assignment")
+    la = la.to_dict() if hasattr(la, "to_dict") else la
     anchors, ranges, strides, counts = generate_anchors(
-        input_size, anchor_cfg_from_model(model_cfg)
+        input_size, anchor_cfg_from_model(model_cfg, la)
     )
     return model, anchors, ranges, counts
 
@@ -87,7 +93,9 @@ def _build_bop(cfg, data_cfg, test_mode: bool) -> BOPDataset:
         bop_submission=data_cfg.get("bop_submission", False),
         input_size=tuple(cfg.get("input_size", (480, 640))),
         max_gt=max_gt,
-        anchor_cfg=anchor_cfg_from_model(model_cfg),
+        anchor_cfg=anchor_cfg_from_model(
+            model_cfg, la_cfg.to_dict() if la_cfg is not None else None
+        ),
     )
 
 

@@ -41,6 +41,15 @@ class AnchorConfig:
 
     @classmethod
     def from_cfg(cls, cfg: dict) -> "AnchorConfig":
+        # this generator implements the RADet configuration: ONE square
+        # anchor per cell; reject configs that silently expect more
+        ratios = cfg.get("ratios", [1.0])
+        spo = cfg.get("scales_per_octave", 1)
+        assert list(ratios) == [1.0] and spo == 1, (
+            f"radet-tpu anchors support one square anchor per cell "
+            f"(ratios=[1.0], scales_per_octave=1); got ratios={ratios}, "
+            f"scales_per_octave={spo}"
+        )
         kwargs = {}
         if "strides" in cfg:
             kwargs["strides"] = tuple(cfg["strides"])
@@ -49,6 +58,12 @@ class AnchorConfig:
         if "regress_ranges" in cfg:
             kwargs["regress_ranges"] = tuple(tuple(r) for r in cfg["regress_ranges"])
         return cls(**kwargs)
+
+    def __post_init__(self):
+        assert len(self.strides) == len(self.regress_ranges), (
+            f"strides ({len(self.strides)}) and regress_ranges "
+            f"({len(self.regress_ranges)}) must align per level"
+        )
 
 
 def anchor_featmap_sizes(
