@@ -210,21 +210,20 @@ class RandomBackground:
     def __init__(self, background_dir: str, prob: float = 0.3):
         self.background_dir = background_dir
         self.prob = prob
-        self._files: Optional[List[str]] = None
-
-    def _load_files(self) -> List[str]:
-        if self._files is None:
-            self._files = sorted(
-                glob.glob(osp.join(self.background_dir, "*.jpg"))
-                + glob.glob(osp.join(self.background_dir, "*.png"))
-            )
-        return self._files
+        self._files = sorted(
+            glob.glob(osp.join(background_dir, "*.jpg"))
+            + glob.glob(osp.join(background_dir, "*.png"))
+        )
+        # fail loudly — a typo'd dir would otherwise silently disable the
+        # augmentation for the whole run (reference color_aug.py:98-99)
+        if not self._files:
+            raise RuntimeError(f"No background images found in {background_dir}")
 
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
         if random.random() > self.prob:
             return results
-        files = self._load_files()
-        if not files or "gt_masks" not in results or not len(results["gt_masks"]):
+        files = self._files
+        if "gt_masks" not in results or not len(results["gt_masks"]):
             return results
         bg = imread_rgb(random.choice(files))
         img = results["img"]

@@ -22,10 +22,14 @@ BASE_KEY = "_base_"
 
 
 def merge_dict(base: Dict[str, Any], child: Dict[str, Any]) -> Dict[str, Any]:
-    """Recursively merge ``child`` on top of ``base`` (child wins)."""
+    """Recursively merge ``child`` on top of ``base`` (child wins).
+
+    Neither argument is mutated (the ``_delete_`` marker is stripped from the
+    RESULT, not from ``child``), so merges are idempotent."""
     out = copy.deepcopy(base)
     for k, v in child.items():
-        if isinstance(v, dict) and v.pop(DELETE_KEY, False):
+        if isinstance(v, dict) and v.get(DELETE_KEY, False):
+            v = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
             out[k] = copy.deepcopy(v)
         elif isinstance(v, dict) and isinstance(out.get(k), dict):
             out[k] = merge_dict(out[k], v)
