@@ -50,6 +50,11 @@ def inference_detector(detector: Detector, imgs) -> List[Dict[str, np.ndarray]]:
     Returns per-image dicts {boxes (M,4) xyxy in ORIGINAL image coords,
     scores (M,), labels (M,)}.
     """
+    if detector.variables is None:
+        raise RuntimeError(
+            "Detector has no weights loaded — construct it via init_detector() "
+            "or assign detector.variables first"
+        )
     single = not isinstance(imgs, (list, tuple))
     if single:
         imgs = [imgs]

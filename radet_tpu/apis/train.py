@@ -107,18 +107,23 @@ def train_detector(
         interval=int(ckpt_cfg.get("interval", 10000)) if ckpt_cfg else 10000,
     )
     if resume_from:
-        if resume_from not in ("auto", True) and osp.isdir(str(resume_from)):
-            # explicit checkpoint directory (possibly another run's work dir)
-            src = CheckpointManager(str(resume_from))
-            restored = src.restore(state)
-            src.close()
-        else:
+        if resume_from in ("auto", True):
             restored = ckpt.restore(state)
+            if restored is None:
+                logger.warning("resume requested but work_dir has no checkpoint; starting fresh")
+        else:
+            # explicit path: manager root, step dir, or another run's work dir
+            from ..engine.checkpoint import resolve_manager_root
+
+            root, step = resolve_manager_root(str(resume_from))
+            src = CheckpointManager(root)
+            restored = src.restore(state, step=step)
+            src.close()
+            if restored is None:
+                raise FileNotFoundError(f"no checkpoint restorable from {resume_from}")
         if restored is not None:
             state = restored
             logger.info(f"resumed from step {int(state.step)}")
-        else:
-            logger.warning(f"resume requested but no checkpoint found ({resume_from})")
 
     train_step = build_train_step(
         model,

@@ -116,12 +116,43 @@ def load_weights(path: str, template: Dict[str, Any] | None = None) -> Dict[str,
     if restored is None:
         try:
             return ckptr.restore(resolved, target=template)
-        except (ValueError, KeyError):
-            # maybe a full TrainState payload; restore untyped then extract
+        except (ValueError, KeyError) as template_err:
+            # the payload may be a full TrainState; restore untyped and
+            # extract the model variables — but a mismatch that is NOT a
+            # train-state wrapper is a genuine wrong-checkpoint error
             restored = ckptr.restore(resolved)
+            if not (
+                isinstance(restored, dict)
+                and "params" in restored
+                and "opt_state" in restored
+            ):
+                raise ValueError(
+                    f"checkpoint at {resolved} does not match the model "
+                    f"variable structure"
+                ) from template_err
     if isinstance(restored, dict) and "params" in restored and "opt_state" in restored:
         restored = {
             "params": restored["params"],
             "batch_stats": restored.get("batch_stats", {}),
         }
     return restored
+
+
+def resolve_manager_root(path: str):
+    """Map a user-given resume path to (manager_root, step | None).
+
+    Accepts a CheckpointManager root, a step dir (<root>/<step>), or a work
+    dir containing a 'checkpoints' subdirectory. Raises FileNotFoundError
+    for anything else."""
+    path = osp.abspath(path)
+    if not osp.isdir(path):
+        raise FileNotFoundError(f"resume path does not exist: {path}")
+    base = osp.basename(path.rstrip("/"))
+    if base.isdigit() and osp.isdir(osp.dirname(path)):
+        return osp.dirname(path), int(base)
+    if any(d.isdigit() for d in os.listdir(path)):
+        return path, None
+    sub = osp.join(path, "checkpoints")
+    if osp.isdir(sub):
+        return sub, None
+    raise FileNotFoundError(f"no checkpoints found under resume path: {path}")

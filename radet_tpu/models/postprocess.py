@@ -260,14 +260,11 @@ def get_bboxes(
             valid = take(valid)
 
         if nms_impl == "pallas":
-            assert candidate_mode == "global", (
-                "nms_impl='pallas' requires candidate_mode='global' "
-                "(candidates must be globally score-sorted)"
-            )
             from ..ops.pallas_nms import vote_nms_pallas
 
             # the kernel expects candidates sorted by cluster score desc —
-            # the global top-k above provides exactly that
+            # the unconditional top-k above provides exactly that for either
+            # candidate mode
             ob, ol, osc, ov = vote_nms_pallas(
                 boxes,
                 cluster_score,

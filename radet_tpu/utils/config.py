@@ -28,11 +28,13 @@ def merge_dict(base: Dict[str, Any], child: Dict[str, Any]) -> Dict[str, Any]:
     RESULT, not from ``child``), so merges are idempotent."""
     out = copy.deepcopy(base)
     for k, v in child.items():
-        if isinstance(v, dict) and v.get(DELETE_KEY, False):
+        if isinstance(v, dict):
+            delete = bool(v.get(DELETE_KEY, False))
             v = {kk: vv for kk, vv in v.items() if kk != DELETE_KEY}
-            out[k] = copy.deepcopy(v)
-        elif isinstance(v, dict) and isinstance(out.get(k), dict):
-            out[k] = merge_dict(out[k], v)
+            if not delete and isinstance(out.get(k), dict):
+                out[k] = merge_dict(out[k], v)
+            else:
+                out[k] = copy.deepcopy(v)
         else:
             out[k] = copy.deepcopy(v)
     return out
