@@ -191,6 +191,74 @@ def test_assignment_option_variants():
     assert (weight[gt_idx >= 0] > 0).all()
 
 
+def _pools_oracle(anchors, ranges, gt_boxes, gt_valid, dist, neg_threshold=0.2):
+    """Sequential numpy oracle for the DETERMINISTIC part of the assignment:
+    per-GT non-negative pools under min_area claiming (the claimed set after
+    each GT equals its whole pool, independent of which members get sampled
+    — label_assignment.py:172-196)."""
+    eps = 1e-8
+    cand = np.asarray(
+        candidate_mask(
+            jnp.asarray(anchors), jnp.asarray(ranges), jnp.asarray(gt_boxes), jnp.asarray(gt_valid)
+        )
+    )
+    areas = np.where(
+        gt_valid,
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
+        np.inf,
+    )
+    claimed = np.zeros(anchors.shape[0], bool)
+    pools = {}
+    for g in np.argsort(areas):
+        if not gt_valid[g]:
+            continue
+        cand_g = cand[:, g] & ~claimed
+        p = np.clip(dist[:, g], eps, None) * cand_g
+        if not cand_g.any():
+            pools[int(g)] = np.zeros_like(claimed)
+            continue
+        pool = cand_g & (p > neg_threshold * p.max())
+        pools[int(g)] = pool
+        claimed |= pool
+    return pools
+
+
+def test_pool_structure_matches_sequential_oracle(rng):
+    anchors, ranges, _ = _setup()
+    n = anchors.shape[0]
+    # overlapping boxes stress the min-area claiming
+    boxes = [
+        [100, 100, 260, 260],
+        [140, 140, 250, 250],
+        [90, 300, 190, 400],
+        [120, 320, 180, 380],
+    ]
+    gt_boxes, gt_labels, gt_valid, dist = _make_gts(boxes, [0, 1, 2, 0], 8, n, anchors)
+    # non-binary distance values exercise the neg_threshold pruning
+    dist = dist * rng.uniform(0.3, 1.0, dist.shape).astype(np.float32)
+    pools = _pools_oracle(anchors, ranges, gt_boxes, gt_valid, dist)
+
+    res = assign_labels(
+        jax.random.PRNGKey(3),
+        jnp.asarray(anchors),
+        jnp.asarray(ranges),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(dist),
+        positive_num=10,
+    )
+    gt_idx = np.asarray(res.gt_idx)
+    # every positive of GT g lies in g's oracle pool
+    for g, pool in pools.items():
+        pos = gt_idx == g
+        assert pool[pos].all(), f"gt {g}: positive outside its sequential pool"
+    # claimed set (pos + ignore) == union of pools
+    union = np.zeros(n, bool)
+    for pool in pools.values():
+        union |= pool
+    np.testing.assert_array_equal(gt_idx != -1, union)
+
+
 def test_no_gt_image():
     anchors, ranges, _ = _setup()
     n = anchors.shape[0]
