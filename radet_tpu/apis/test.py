@@ -49,6 +49,8 @@ def run_inference(
         test_cfg=test_cfg,
         normalizer=normalizer,
     )
+    import jax
+
     loader = DataLoader(
         dataset,
         batch_size=batch_size,
@@ -56,6 +58,8 @@ def run_inference(
         num_workers=num_workers,
         drop_last=False,
         infinite=False,
+        shard_id=jax.process_index(),
+        num_shards=jax.process_count(),
     )
     results: List[dict] = []
     t_start = time.time()
@@ -121,7 +125,45 @@ def run_inference(
     dt = time.time() - t_start
     if n_images:
         logger.info(f"inference done: {n_images} images in {dt:.1f}s ({n_images / dt:.1f} img/s)")
-    return results
+    return gather_results_multihost(results)
+
+
+def gather_results_multihost(results: List[dict]) -> List[dict]:
+    """Collect per-host result shards onto every process (the reference's
+    multi_gpu_test collect_results_gpu, apis/test.py:117-190, re-expressed
+    as a pickled padded all-gather over jax's DCN channel). No-op on a
+    single process."""
+    import jax
+
+    if jax.process_count() == 1:
+        return results
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(results), np.uint8)
+    # pad to a host-uniform length (all_gather needs equal shapes)
+    local_len = np.asarray([blob.size], np.int64)
+    all_lens = np.asarray(multihost_utils.process_allgather(local_len)).reshape(-1)
+    max_len = int(all_lens.max())
+    padded = np.zeros(max_len, np.uint8)
+    padded[: blob.size] = blob
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    merged: List[dict] = []
+    for shard, ln in zip(gathered.reshape(len(all_lens), max_len), all_lens):
+        merged.extend(pickle.loads(shard[: int(ln)].tobytes()))
+    # hosts see interleaved shards; restore dataset order by image id
+    merged.sort(key=lambda r: r["img_id"])
+    # drop duplicates from shard padding (loader pads indices to divisible)
+    seen = set()
+    out = []
+    for r in merged:
+        if r["img_id"] in seen:
+            continue
+        seen.add(r["img_id"])
+        out.append(r)
+    return out
 
 
 def _merge_flip_aug(infer, variables, batch, test_cfg,
