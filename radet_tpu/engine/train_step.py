@@ -115,7 +115,9 @@ def build_train_step(
         total = losses["loss_cls"] + losses["loss_bbox"] + losses["loss_iou"]
         return total, (losses, mutated.get("batch_stats", batch_stats))
 
-    @jax.jit
+    # donate the input state: params/opt_state buffers are updated in place
+    # instead of copied each step (the caller rebinds `state` every iteration)
+    @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng_key):
         step_key = jax.random.fold_in(rng_key, state.step)
         assign = assign_batch(step_key, batch)
