@@ -55,6 +55,9 @@ test_cfg = dict(
     nms_pre=1000,
     min_bbox_size=0,
     score_thr=0.05,
+    # candidates entering vote-NMS, ranked by cluster score; raise to 1024+
+    # (or candidate_mode='per_level') for strict reference candidate caps
+    nms_topk=512,
     nms=dict(
         type="vote",
         iou_threshold=0.65,

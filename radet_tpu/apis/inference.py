@@ -34,6 +34,22 @@ class Detector:
         )
 
 
+def show_result(img, result, class_names=None, score_thr=0.3, out_file=None):
+    """Draw a detection result dict on an RGB image (BaseDetector.show_result
+    parity, reference models/detectors/base.py:270)."""
+    from ..utils.visualization import imshow_det_bboxes
+
+    return imshow_det_bboxes(
+        img,
+        result["boxes"],
+        result["labels"],
+        result.get("scores"),
+        class_names=class_names,
+        score_thr=score_thr,
+        out_file=out_file,
+    )
+
+
 def init_detector(config, checkpoint: Optional[str] = None, cfg_options=None) -> Detector:
     cfg = config if isinstance(config, Config) else Config.fromfile(config, cfg_options)
     detector = Detector(cfg, variables=None)

@@ -28,6 +28,7 @@ def parse_args():
     p.add_argument("--no-validate", action="store_true", help="skip eval during training")
     p.add_argument(
         "--cfg-options",
+        "--options",  # deprecated alias kept for reference-CLI parity
         nargs="+",
         default=None,
         help="override config entries, e.g. data.samples_per_gpu=8",
