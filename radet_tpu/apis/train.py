@@ -162,53 +162,67 @@ def train_detector(
     it = iter(loader)
     t_log = time.time()
     start_step = int(state.step)
-    for i in range(start_step, total_iters):
-        batch = next(it)
-        device_batch = shard_batch(
-            {
-                k: batch[k]
-                for k in ("image", "gt_boxes", "gt_labels", "gt_valid", "dist_vals")
-            },
-            mesh,
-        )
-        state, metrics = train_step(state, device_batch, rng_key)
-        step = i + 1
-        if log_interval and step % log_interval == 0:
-            metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
-            dt = (time.time() - t_log) / log_interval
-            t_log = time.time()
-            lr = float(schedule(step))
-            logger.info(
-                f"iter {step}/{total_iters} lr {lr:.2e} "
-                + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
-                + f" | {dt * 1000:.0f} ms/iter ({batch_size / dt:.1f} img/s)"
+    try:
+        for i in range(start_step, total_iters):
+            batch = next(it)
+            device_batch = shard_batch(
+                {
+                    k: batch[k]
+                    for k in ("image", "gt_boxes", "gt_labels", "gt_valid", "dist_vals")
+                },
+                mesh,
             )
-        if ckpt.interval and step % ckpt.interval == 0:
-            ckpt.save(step, jax.device_get(state), force=True)
-            last_saved = step
-            logger.info(f"checkpoint saved at step {step}")
-        if eval_during_train and eval_interval and step % eval_interval == 0:
-            metrics_eval = _run_eval(cfg, model, state, anchors, counts, logger)
-            # save_best (reference EvalHook save_best, eval_hooks.py:156-170)
-            save_best_key = (eval_cfg.get("save_best") if eval_cfg else None) or None
-            if metrics_eval and save_best_key:
-                key_name = f"bbox_{save_best_key}" if not str(save_best_key).startswith("bbox_") else save_best_key
-                score = metrics_eval.get(key_name)
-                if score is not None and score > best_score:
-                    best_score = score
-                    from ..engine.checkpoint import save_weights
+            state, metrics = train_step(state, device_batch, rng_key)
+            step = i + 1
+            if log_interval and step % log_interval == 0:
+                metrics = {k: float(v) for k, v in jax.device_get(metrics).items()}
+                dt = (time.time() - t_log) / log_interval
+                t_log = time.time()
+                lr = float(schedule(step))
+                logger.info(
+                    f"iter {step}/{total_iters} lr {lr:.2e} "
+                    + " ".join(f"{k} {v:.4f}" for k, v in metrics.items())
+                    + f" | {dt * 1000:.0f} ms/iter ({batch_size / dt:.1f} img/s)"
+                )
+            if ckpt.interval and step % ckpt.interval == 0:
+                ckpt.save(step, jax.device_get(state), force=True)
+                last_saved = step
+                logger.info(f"checkpoint saved at step {step}")
+            if eval_during_train and eval_interval and step % eval_interval == 0:
+                metrics_eval = _run_eval(cfg, model, state, anchors, counts, logger)
+                # save_best (reference EvalHook save_best, eval_hooks.py:156-170)
+                save_best_key = (eval_cfg.get("save_best") if eval_cfg else None) or None
+                if metrics_eval and save_best_key:
+                    key_name = f"bbox_{save_best_key}" if not str(save_best_key).startswith("bbox_") else save_best_key
+                    score = metrics_eval.get(key_name)
+                    if score is not None and score > best_score:
+                        best_score = score
+                        from ..engine.checkpoint import save_weights
 
-                    best_dir = osp.join(work_dir, "best_weights")
-                    import shutil
+                        best_dir = osp.join(work_dir, "best_weights")
+                        import shutil
 
-                    shutil.rmtree(best_dir, ignore_errors=True)
-                    save_weights(
-                        best_dir,
-                        jax.device_get(
-                            {"params": state.params, "batch_stats": state.batch_stats}
-                        ),
-                    )
-                    logger.info(f"new best {key_name}={score:.4f} saved to {best_dir}")
+                        shutil.rmtree(best_dir, ignore_errors=True)
+                        save_weights(
+                            best_dir,
+                            jax.device_get(
+                                {"params": state.params, "batch_stats": state.batch_stats}
+                            ),
+                        )
+                        logger.info(f"new best {key_name}={score:.4f} saved to {best_dir}")
+
+    except BaseException:
+        # crash-safe: persist the last complete step before propagating
+        # (the reference's only recovery story is restart-from-checkpoint,
+        # SURVEY.md §5)
+        try:
+            step_now = int(jax.device_get(state.step))
+            if step_now > 0 and step_now != last_saved:
+                ckpt.save(step_now, jax.device_get(state), force=True, wait=True)
+                logger.info(f"emergency checkpoint saved at step {step_now}")
+        except Exception as save_err:  # noqa: BLE001
+            logger.error(f"emergency checkpoint failed: {save_err}")
+        raise
 
     if last_saved != total_iters:
         ckpt.save(total_iters, jax.device_get(state), force=True)
