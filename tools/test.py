@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--eval", nargs="+", default=None, help="metrics, e.g. bbox")
     p.add_argument("--split", default="test", choices=["test", "val"])
     p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--show-dir", default=None,
+                   help="draw detections onto images and save here (reference --show-dir)")
+    p.add_argument("--show-score-thr", type=float, default=0.3)
     p.add_argument("--cfg-options", nargs="+", default=None)
     return p.parse_args()
 
@@ -73,6 +76,27 @@ def main():
             with open(prefix + ".bop.json", "w") as f:
                 json.dump(dataset.bop_det2json(results), f)
             logger.info(f"BOP submission: {prefix}.bop.json")
+
+    if args.show_dir:
+        import os
+
+        from radet_tpu.data.pipeline import imread_rgb
+        from radet_tpu.utils.visualization import imshow_det_bboxes
+
+        os.makedirs(args.show_dir, exist_ok=True)
+        id_to_info = {info["id"]: info for info in dataset.data_infos}
+        for r in results:
+            info = id_to_info[r["img_id"]]
+            img = imread_rgb(osp.join(dataset.img_prefix, info["filename"]))
+            out_file = osp.join(
+                args.show_dir, info["filename"].replace("/", "_")
+            )
+            imshow_det_bboxes(
+                img, r["boxes"], r["labels"], r["scores"],
+                class_names=dataset.CLASSES, score_thr=args.show_score_thr,
+                out_file=out_file,
+            )
+        logger.info(f"rendered {len(results)} images to {args.show_dir}")
 
     if args.eval:
         if metrics is None:
