@@ -87,7 +87,7 @@ def vote_nms_numpy(
             xr = min(boxes[i, 2], boxes[j, 2])
             yb = min(boxes[i, 3], boxes[j, 3])
             inter = max(0.0, xr - xl) * max(0.0, yb - yt)
-            iou = inter / (areas[i] + areas[j] - inter)
+            iou = inter / max(areas[i] + areas[j] - inter, 1e-12)
             vs_j = vote_scores[j]
             if iou_enable:
                 vs_j = vs_j * np.exp(-((1 - iou) ** 2) / sigma)
