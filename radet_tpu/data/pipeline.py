@@ -103,6 +103,55 @@ class LoadAnnotations:
         return results
 
 
+class LoadMaskFromFile:
+    """Per-instance visible masks derived from the image path by substring
+    rewrite (reference loading.py:202-239): ``{prefix}/rgb/x.png`` ->
+    ``{prefix}/mask_visib/x_{i:06d}.png`` for each GT, grayscale/255.
+
+    Must run after gt_bboxes are loaded (the GT count sets how many mask
+    files to read)."""
+
+    def __init__(self, replace_path: Tuple[str, str] = ("rgb", "mask_visib")):
+        self.replace_path = tuple(replace_path)
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        filename = osp.join(
+            results.get("img_prefix", ""), results["img_info"]["filename"]
+        ).replace(self.replace_path[0], self.replace_path[1])
+        base = filename.rpartition(".")[0]
+        h, w = results["img_info"]["height"], results["img_info"]["width"]
+        masks = []
+        for i in range(len(results["gt_bboxes"])):
+            m = cv2.imread(f"{base}_{i:06d}.png", cv2.IMREAD_GRAYSCALE)
+            if m is None:
+                raise FileNotFoundError(f"{base}_{i:06d}.png")
+            masks.append((m // 255).astype(np.uint8))
+        results["gt_masks"] = (
+            np.stack(masks, 0) if masks else np.zeros((0, h, w), np.uint8)
+        )
+        return results
+
+
+class FilterAnnotations:
+    """Drop GT boxes below a minimum width/height (reference loading.py:513-539);
+    returns None (-> loader resamples) when nothing survives."""
+
+    def __init__(self, min_gt_bbox_wh: Tuple[float, float]):
+        self.min_gt_bbox_wh = tuple(min_gt_bbox_wh)
+
+    def __call__(self, results: Dict[str, Any]):
+        b = results["gt_bboxes"]
+        keep = ((b[:, 2] - b[:, 0]) > self.min_gt_bbox_wh[0]) & (
+            (b[:, 3] - b[:, 1]) > self.min_gt_bbox_wh[1]
+        )
+        if not keep.any():
+            return None
+        for key in ("gt_bboxes", "gt_labels", "gt_masks", "distance_maps"):
+            if key in results and len(results[key]):
+                results[key] = results[key][keep]
+        return results
+
+
 # ---------------------------------------------------------------------------
 # Geometry
 # ---------------------------------------------------------------------------
@@ -195,6 +244,255 @@ class Pad:
             out[:h, :w] = img
             results["img"] = out
         results["pad_shape"] = (th, tw)
+        return results
+
+
+def _filter_cropped_gt(results: Dict[str, Any], x1: int, y1: int, x2: int, y2: int,
+                       clip: bool, require_gt: bool):
+    """Shared box/label/mask bookkeeping for crops: shift boxes into the
+    patch frame, optionally clip, drop degenerate boxes, slice masks.
+    Returns None when no GT survives and require_gt is set."""
+    if "gt_bboxes" in results and len(results["gt_bboxes"]):
+        b = results["gt_bboxes"] - np.array([x1, y1, x1, y1], np.float32)
+        if clip:
+            b[:, 0::2] = b[:, 0::2].clip(0, x2 - x1)
+            b[:, 1::2] = b[:, 1::2].clip(0, y2 - y1)
+        keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+        if not keep.any() and require_gt:
+            return None
+        results["gt_bboxes"] = b[keep]
+        if "gt_labels" in results:
+            results["gt_labels"] = results["gt_labels"][keep]
+        if "gt_masks" in results and len(results["gt_masks"]):
+            results["gt_masks"] = np.ascontiguousarray(
+                results["gt_masks"][keep.nonzero()[0]][:, y1:y2, x1:x2]
+            )
+    elif require_gt:
+        return None
+    return results
+
+
+class RandomCrop:
+    """Random crop of image + boxes + masks (reference transforms.py:587-765).
+
+    All four reference crop_type modes; a crop containing no GT area returns
+    None (-> loader resamples) unless allow_negative_crop."""
+
+    def __init__(self, crop_size, crop_type: str = "absolute",
+                 allow_negative_crop: bool = False, bbox_clip_border: bool = True):
+        if crop_type not in ("relative_range", "relative", "absolute", "absolute_range"):
+            raise ValueError(f"invalid crop_type {crop_type!r}")
+        if crop_type in ("absolute", "absolute_range"):
+            assert crop_size[0] > 0 and crop_size[1] > 0
+        else:
+            assert 0 < crop_size[0] <= 1 and 0 < crop_size[1] <= 1
+        self.crop_size = tuple(crop_size)  # (h, w)
+        self.crop_type = crop_type
+        self.allow_negative_crop = allow_negative_crop
+        self.bbox_clip_border = bbox_clip_border
+
+    def _sample_size(self, h: int, w: int) -> Tuple[int, int]:
+        ch, cw = self.crop_size
+        if self.crop_type == "absolute":
+            return min(int(ch), h), min(int(cw), w)
+        if self.crop_type == "absolute_range":
+            assert ch <= cw
+            return (
+                random.randint(min(h, int(ch)), min(h, int(cw))),
+                random.randint(min(w, int(ch)), min(w, int(cw))),
+            )
+        if self.crop_type == "relative":
+            return int(h * ch + 0.5), int(w * cw + 0.5)
+        fh = ch + random.random() * (1 - ch)
+        fw = cw + random.random() * (1 - cw)
+        return int(h * fh + 0.5), int(w * fw + 0.5)
+
+    def __call__(self, results: Dict[str, Any]):
+        img = results["img"]
+        h, w = img.shape[:2]
+        ch, cw = self._sample_size(h, w)
+        y1 = random.randint(0, max(h - ch, 0))
+        x1 = random.randint(0, max(w - cw, 0))
+        y2, x2 = y1 + ch, x1 + cw
+        results["img"] = np.ascontiguousarray(img[y1:y2, x1:x2])
+        results["img_shape"] = results["img"].shape[:2]
+        return _filter_cropped_gt(
+            results, x1, y1, x2, y2,
+            clip=self.bbox_clip_border, require_gt=not self.allow_negative_crop,
+        )
+
+
+class MinIoURandomCrop:
+    """SSD-style min-IoU random crop (reference transforms.py:1007-1136):
+    pick a min-IoU mode (1 = keep original), then retry up to 50 crops whose
+    IoU with EVERY GT clears the threshold and that contain at least one GT
+    center; boxes whose center falls outside the patch are dropped."""
+
+    def __init__(self, min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                 min_crop_size: float = 0.3, bbox_clip_border: bool = True):
+        self.sample_modes = (1, *min_ious, 0)
+        self.min_crop_size = float(min_crop_size)
+        self.bbox_clip_border = bbox_clip_border
+
+    @staticmethod
+    def _iou_with_patch(patch: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+        ix1 = np.maximum(patch[0], boxes[:, 0])
+        iy1 = np.maximum(patch[1], boxes[:, 1])
+        ix2 = np.minimum(patch[2], boxes[:, 2])
+        iy2 = np.minimum(patch[3], boxes[:, 3])
+        inter = np.clip(ix2 - ix1, 0, None) * np.clip(iy2 - iy1, 0, None)
+        area_b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        area_p = (patch[2] - patch[0]) * (patch[3] - patch[1])
+        return inter / np.maximum(area_b + area_p - inter, 1e-12)
+
+    def __call__(self, results: Dict[str, Any]):
+        img = results["img"]
+        h, w = img.shape[:2]
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        while True:
+            mode = random.choice(self.sample_modes)
+            if mode == 1:
+                return results
+            for _ in range(50):
+                cw = random.uniform(self.min_crop_size * w, w)
+                ch = random.uniform(self.min_crop_size * h, h)
+                if not 0.5 <= ch / cw <= 2:
+                    continue
+                x1 = int(random.uniform(0, w - cw))
+                y1 = int(random.uniform(0, h - ch))
+                x2, y2 = int(x1 + cw), int(y1 + ch)
+                if x2 == x1 or y2 == y1:
+                    continue
+                patch = np.array([x1, y1, x2, y2], np.float32)
+                if len(boxes):
+                    if self._iou_with_patch(patch, boxes).min() < mode:
+                        continue
+                    centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+                    inside = (
+                        (centers[:, 0] > x1) & (centers[:, 1] > y1)
+                        & (centers[:, 0] < x2) & (centers[:, 1] < y2)
+                    )
+                    if not inside.any():
+                        continue
+                    results["gt_bboxes"] = boxes[inside]
+                    if "gt_labels" in results:
+                        results["gt_labels"] = results["gt_labels"][inside]
+                    if "gt_masks" in results and len(results["gt_masks"]):
+                        results["gt_masks"] = np.ascontiguousarray(
+                            results["gt_masks"][inside.nonzero()[0]][:, y1:y2, x1:x2]
+                        )
+                    b = results["gt_bboxes"].copy()
+                    if self.bbox_clip_border:
+                        b[:, 0::2] = b[:, 0::2].clip(x1, x2)
+                        b[:, 1::2] = b[:, 1::2].clip(y1, y2)
+                    b -= np.array([x1, y1, x1, y1], np.float32)
+                    results["gt_bboxes"] = b
+                results["img"] = np.ascontiguousarray(img[y1:y2, x1:x2])
+                results["img_shape"] = results["img"].shape[:2]
+                return results
+
+
+class Expand:
+    """Place the image on a larger mean-filled canvas at a random offset
+    (reference transforms.py:915-996); boxes shift, masks zero-pad."""
+
+    def __init__(self, mean=(0, 0, 0), ratio_range=(1, 4), prob: float = 0.5):
+        self.mean = tuple(float(m) for m in mean)
+        self.min_ratio, self.max_ratio = ratio_range
+        self.prob = prob
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        if random.random() > self.prob:
+            return results
+        img = results["img"]
+        h, w, c = img.shape
+        ratio = random.uniform(self.min_ratio, self.max_ratio)
+        eh, ew = int(h * ratio), int(w * ratio)
+        canvas = np.empty((eh, ew, c), img.dtype)
+        canvas[...] = np.asarray(self.mean, img.dtype)
+        top = int(random.uniform(0, eh - h))
+        left = int(random.uniform(0, ew - w))
+        canvas[top : top + h, left : left + w] = img
+        results["img"] = canvas
+        results["img_shape"] = (eh, ew)
+        if "gt_bboxes" in results and len(results["gt_bboxes"]):
+            results["gt_bboxes"] = results["gt_bboxes"] + np.array(
+                [left, top, left, top], np.float32
+            )
+        if "gt_masks" in results and len(results["gt_masks"]):
+            g = results["gt_masks"]
+            out = np.zeros((g.shape[0], eh, ew), g.dtype)
+            out[:, top : top + h, left : left + w] = g
+            results["gt_masks"] = out
+        return results
+
+
+class PhotoMetricDistortion:
+    """Photometric distortion chain (reference transforms.py:809-899):
+    brightness, contrast (before or after the HSV block), saturation, hue,
+    channel swap — each applied with p=0.5.  Works on our uint8 RGB images
+    by computing in float32 and clipping back (the reference requires a
+    float32 image and never clips; values re-enter range at Normalize)."""
+
+    def __init__(self, brightness_delta: int = 32, contrast_range=(0.5, 1.5),
+                 saturation_range=(0.5, 1.5), hue_delta: int = 18):
+        self.brightness_delta = brightness_delta
+        self.contrast_lower, self.contrast_upper = contrast_range
+        self.saturation_lower, self.saturation_upper = saturation_range
+        self.hue_delta = hue_delta
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        img = results["img"].astype(np.float32)
+        if random.random() < 0.5:
+            img += random.uniform(-self.brightness_delta, self.brightness_delta)
+        contrast_last = random.random() < 0.5
+        if not contrast_last and random.random() < 0.5:
+            img *= random.uniform(self.contrast_lower, self.contrast_upper)
+        # float32 HSV: H in [0, 360), S in [0, 1], V keeps the input scale
+        hsv = cv2.cvtColor(img.clip(0, 255), cv2.COLOR_RGB2HSV)
+        if random.random() < 0.5:
+            hsv[..., 1] *= random.uniform(self.saturation_lower, self.saturation_upper)
+        if random.random() < 0.5:
+            hsv[..., 0] += random.uniform(-self.hue_delta, self.hue_delta)
+            hsv[..., 0] %= 360
+        hsv[..., 1] = hsv[..., 1].clip(0, 1)
+        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        if contrast_last and random.random() < 0.5:
+            img *= random.uniform(self.contrast_lower, self.contrast_upper)
+        if random.random() < 0.5:
+            img = img[..., np.random.permutation(3)]
+        results["img"] = img.clip(0, 255).astype(np.uint8)
+        return results
+
+
+class CutOut:
+    """Randomly zero out rectangular regions (reference transforms.py:1734-1801)."""
+
+    def __init__(self, n_holes, cutout_shape=None, cutout_ratio=None,
+                 fill_in=(0, 0, 0)):
+        assert (cutout_shape is None) ^ (cutout_ratio is None), (
+            "exactly one of cutout_shape / cutout_ratio required"
+        )
+        if not isinstance(n_holes, (tuple, list)):
+            n_holes = (n_holes, n_holes)
+        assert 0 <= n_holes[0] <= n_holes[1]
+        self.n_holes = tuple(n_holes)
+        self.fill_in = tuple(fill_in)
+        self.with_ratio = cutout_ratio is not None
+        cands = cutout_ratio if self.with_ratio else cutout_shape
+        self.candidates = list(cands) if isinstance(cands, list) else [cands]
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        img = results["img"]
+        h, w = img.shape[:2]
+        for _ in range(random.randint(*self.n_holes)):
+            x1 = random.randrange(w)
+            y1 = random.randrange(h)
+            cw, ch = random.choice(self.candidates)
+            if self.with_ratio:
+                cw, ch = int(cw * w), int(ch * h)
+            img[y1 : min(y1 + ch, h), x1 : min(x1 + cw, w)] = self.fill_in
+        results["img"] = img
         return results
 
 
@@ -448,9 +746,16 @@ class SampleDistanceAtAnchors:
 _TRANSFORMS = {
     "LoadImageFromFile": LoadImageFromFile,
     "LoadAnnotations": LoadAnnotations,
+    "LoadMaskFromFile": LoadMaskFromFile,
+    "FilterAnnotations": FilterAnnotations,
     "Resize": Resize,
     "RandomFlip": RandomFlip,
     "Pad": Pad,
+    "RandomCrop": RandomCrop,
+    "MinIoURandomCrop": MinIoURandomCrop,
+    "Expand": Expand,
+    "PhotoMetricDistortion": PhotoMetricDistortion,
+    "CutOut": CutOut,
     "RandomBackground": RandomBackground,
     "CosyPoseAug": CosyPoseAug,
     "RandomHSV": RandomHSV,
