@@ -198,6 +198,10 @@ def parity_models():
 
     from radet_tpu.models import build_detector
 
+    # torch's default generator is what initializes the backbone convs
+    # (_randomize only overwrites non-backbone weights) — pin it, or the
+    # candidate set near the 0.05 score threshold varies run to run
+    torch.manual_seed(7)
     rng = np.random.RandomState(7)
     tmodel = TorchRADet()
     _randomize(tmodel, rng)
@@ -433,11 +437,16 @@ def test_detector_end_to_end_detection_parity(parity_models):
         total_expected += len(eb)
 
         iou = _iou_np(eb, gb)
+        # zero-area boxes (border-clamped degenerate regressions) have IoU 0
+        # even when coordinate-identical — match those by coordinate distance
+        coord_close = np.abs(eb[:, None, :] - gb[None, :, :]).max(-1) < 0.05
         matched_g = np.zeros(len(gb), bool)
         for ei in range(len(eb)):
-            cand = np.nonzero((gl == el[ei]) & ~matched_g & (iou[ei] > 0.7))[0]
+            cand = np.nonzero(
+                (gl == el[ei]) & ~matched_g & ((iou[ei] > 0.7) | coord_close[ei])
+            )[0]
             if len(cand):
-                gi = cand[np.argmax(iou[ei][cand])]
+                gi = cand[np.argmax(iou[ei][cand] + coord_close[ei][cand])]
                 matched_g[gi] = True
                 np.testing.assert_allclose(gs[gi], es[ei], rtol=5e-3, atol=5e-4)
                 np.testing.assert_allclose(gb[gi], eb[ei], rtol=5e-3, atol=0.25)
