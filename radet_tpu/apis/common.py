@@ -78,7 +78,9 @@ def build_dataset(cfg, split: str, test_mode: bool | None = None):
     return _build_bop(cfg, data_cfg, test_mode)
 
 
-def _build_bop(cfg, data_cfg, test_mode: bool) -> BOPDataset:
+def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
+    """``input_size`` overrides cfg.input_size (used by multi-scale TTA views,
+    where every scale needs its own static padded resolution)."""
     la_cfg = cfg.get("label_assignment")
     max_gt = int(la_cfg.get("max_gt", 32)) if la_cfg is not None else 32
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
@@ -91,7 +93,7 @@ def _build_bop(cfg, data_cfg, test_mode: bool) -> BOPDataset:
         test_mode=test_mode,
         min_visib_frac=data_cfg.get("min_visib_frac", 0.0),
         bop_submission=data_cfg.get("bop_submission", False),
-        input_size=tuple(cfg.get("input_size", (480, 640))),
+        input_size=tuple(input_size or cfg.get("input_size", (480, 640))),
         max_gt=max_gt,
         anchor_cfg=anchor_cfg_from_model(
             model_cfg, la_cfg.to_dict() if la_cfg is not None else None

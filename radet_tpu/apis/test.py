@@ -22,6 +22,25 @@ from ..utils.logging import get_root_logger
 from .common import build_dataset, build_model_and_anchors, normalizer_from_cfg
 
 
+def strict_eval_overrides(test_cfg: Dict) -> Dict:
+    """Reference-parity candidate semantics for evaluation/export.
+
+    The deploy/bench path defaults to a single global (approximate) top-k
+    straight down to ``nms_topk`` candidates — fast, but it deviates from the
+    reference's per-level ``nms_pre`` caps + exact top-k
+    (/root/reference/radet/models/dense_heads/radet_head.py:106-128) on
+    scenes with many over-threshold candidates.  Evaluation and submission
+    export default to the strict semantics (VERDICT r1 item 6): per-level
+    exact top-k, and a cluster-score truncation cap high enough
+    (2048 ≥ 4× the deploy default) that it binds only on scenes far beyond
+    anything the reference datasets produce."""
+    out = dict(test_cfg)
+    out["candidate_mode"] = "per_level"
+    out["approx_topk"] = False
+    out["nms_topk"] = max(int(out.get("nms_topk", 1024)), 2048)
+    return out
+
+
 def run_inference(
     model,
     variables,
@@ -93,12 +112,7 @@ def run_inference(
 
     for bi, batch in enumerate(loader):
         real = batch["image"].shape[0]
-        if real < batch_size:  # pad to static batch
-            pad = batch_size - real
-            batch = {
-                k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], 0)
-                for k, v in batch.items()
-            }
+        batch = _pad_batch(batch, batch_size)
         if mesh is not None:
             inputs = shard_batch(
                 dict(
@@ -125,6 +139,172 @@ def run_inference(
     dt = time.time() - t_start
     if n_images:
         logger.info(f"inference done: {n_images} images in {dt:.1f}s ({n_images / dt:.1f} img/s)")
+    return gather_results_multihost(results)
+
+
+def _pad_batch(batch: Dict, batch_size: int) -> Dict:
+    real = batch["image"].shape[0]
+    if real == batch_size:
+        return batch
+    pad = batch_size - real
+    return {
+        k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], 0)
+        for k, v in batch.items()
+    }
+
+
+def _host_vote_fuse(boxes, cluster_scores, vote_scores, labels, iou_thr: float):
+    """Fuse a concatenated multi-view detection set with host vote-NMS
+    (native C++ lib when available, numpy oracle otherwise)."""
+    from ..ops.vote_nms import vote_nms_numpy
+
+    try:
+        from ..ops.native import load as _native_load, vote_nms_native
+
+        if _native_load() is not None:
+            return vote_nms_native(boxes, cluster_scores, vote_scores, labels, iou_thr)
+    except Exception:
+        pass
+    return vote_nms_numpy(boxes, cluster_scores, vote_scores, labels, iou_thr)
+
+
+def tta_padded_size(scale_wh, size_divisor: int = 32):
+    """Static padded (h, w) for a keep_ratio resize into ``scale_wh=(w, h)``:
+    the resize fits within the scale box, so ceil(scale / divisor) bounds it."""
+    w, h = scale_wh
+    d = size_divisor
+    return ((h + d - 1) // d * d, (w + d - 1) // d * d)
+
+
+def run_tta_inference(
+    model,
+    variables,
+    datasets: List,  # one dataset view per scale (same indices, same order)
+    *,
+    anchors_list,
+    counts_list,
+    img_norm: Dict,
+    test_cfg: Dict,
+    batch_size: int = 8,
+    normalizer: float = 1.0 / 8.0,
+    flip: bool = False,
+    num_workers: int = 4,
+    score_thr_keep: float = 0.0,
+    log_interval: int = 50,
+) -> List[dict]:
+    """Multi-scale (+flip) test-time augmentation.
+
+    Redesigned from the reference's MultiScaleFlipAug + merge_augs
+    (/root/reference/radet/datasets/pipelines/test_time_aug.py,
+    core/post_processing/merge_augs.py): the reference loops augmented views
+    inside one variable-shape batch; here every scale is its own static-shape
+    dataset view with its own compiled infer step (XLA needs one compiled
+    program per input shape), detections come back in ORIGINAL image
+    coordinates per view, and the per-image union across all views is fused
+    with host vote-NMS (same fusion as the flip-TTA path)."""
+    logger = get_root_logger()
+    infer_steps = [
+        build_infer_step(
+            model, a, c, img_norm=img_norm, test_cfg=test_cfg, normalizer=normalizer
+        )
+        for a, c in zip(anchors_list, counts_list)
+    ]
+    loaders = [
+        DataLoader(
+            ds,
+            batch_size=batch_size,
+            shuffle=False,
+            num_workers=num_workers,
+            drop_last=False,
+            infinite=False,
+            shard_id=jax.process_index(),
+            num_shards=jax.process_count(),
+        )
+        for ds in datasets
+    ]
+    nms_cfg = dict(test_cfg.get("nms", {}))
+    iou_thr = float(nms_cfg.get("iou_threshold", 0.6))
+    max_out = int(test_cfg.get("max_per_img", 100))
+
+    results: List[dict] = []
+    t_start = time.time()
+    n_images = 0
+    for bi, batches in enumerate(zip(*loaders)):
+        real = batches[0]["image"].shape[0]
+        assert all(
+            (b["img_id"][:real] == batches[0]["img_id"][:real]).all() for b in batches
+        ), "TTA dataset views out of lockstep"
+        per_img = [dict(boxes=[], scores=[], labels=[]) for _ in range(real)]
+
+        def _collect(det, batch):
+            boxes = np.asarray(det.boxes)
+            scores = np.asarray(det.scores)
+            labels = np.asarray(det.labels)
+            valid = np.asarray(det.valid)
+            for i in range(real):
+                keep = valid[i]
+                per_img[i]["boxes"].append(boxes[i][keep])
+                per_img[i]["scores"].append(scores[i][keep])
+                per_img[i]["labels"].append(labels[i][keep])
+
+        for infer, batch in zip(infer_steps, batches):
+            batch = _pad_batch(batch, batch_size)
+            det = infer(
+                variables, batch["image"], batch["img_shape"], batch["scale_factor"]
+            )
+            _collect(det, batch)
+            if flip:
+                images = np.asarray(batch["image"])
+                shapes = np.asarray(batch["img_shape"])
+                scales = np.asarray(batch["scale_factor"])
+                flipped = images.copy()
+                for i in range(len(images)):
+                    w = int(shapes[i][1])
+                    flipped[i, :, :w] = images[i, :, :w][:, ::-1]
+                det_f = infer(
+                    variables, flipped, batch["img_shape"], batch["scale_factor"]
+                )
+                fb = np.array(det_f.boxes)  # writable copy (asarray is read-only)
+                # unflip in ORIGINAL coords: W_ori = w_resized / scale
+                for i in range(len(images)):
+                    w_ori = shapes[i][1] / max(scales[i][0], 1e-12)
+                    x1 = w_ori - fb[i][:, 2].copy()
+                    x2 = w_ori - fb[i][:, 0].copy()
+                    fb[i][:, 0], fb[i][:, 2] = x1, x2
+                _collect(det_f._replace(boxes=fb), batch)
+
+        for i in range(real):
+            cb = np.concatenate(per_img[i]["boxes"], 0).astype(np.float32)
+            cs = np.concatenate(per_img[i]["scores"], 0).astype(np.float32)
+            cl = np.concatenate(per_img[i]["labels"], 0).astype(np.int64)
+            if len(cb):
+                vb, vl, vs = _host_vote_fuse(cb, cs, cs, cl, iou_thr)
+                vb, vl, vs = vb[:max_out], vl[:max_out], vs[:max_out]
+            else:
+                vb = np.zeros((0, 4), np.float32)
+                vl = np.zeros((0,), np.int64)
+                vs = np.zeros((0,), np.float32)
+            keep = vs >= score_thr_keep
+            results.append(
+                dict(
+                    boxes=vb[keep],
+                    scores=vs[keep],
+                    labels=vl[keep],
+                    img_id=int(batches[0]["img_id"][i]),
+                )
+            )
+        n_images += real
+        if log_interval and (bi + 1) % log_interval == 0:
+            ips = max(n_images, 1) / (time.time() - t_start)
+            logger.info(
+                f"tta inference: {n_images}/{len(datasets[0])} images ({ips:.1f} img/s)"
+            )
+    dt = time.time() - t_start
+    if n_images:
+        logger.info(
+            f"tta inference done: {n_images} images x {len(infer_steps)} scales"
+            f"{' x flip' if flip else ''} in {dt:.1f}s ({n_images / dt:.1f} img/s)"
+        )
     return gather_results_multihost(results)
 
 
@@ -245,11 +425,14 @@ def test_from_config(
     split: str = "test",
     batch_size: Optional[int] = None,
     fmt_only: bool = False,
+    strict: bool = True,
 ):
     """Config-driven test entry used by tools/test.py.
 
     Inference is data-parallel over all local devices that divide the batch
-    (the multi_gpu_test analogue, reference apis/test.py:69)."""
+    (the multi_gpu_test analogue, reference apis/test.py:69).  ``strict``
+    (default) runs reference candidate semantics (per-level exact top-k,
+    see strict_eval_overrides); pass strict=False for the fast deploy path."""
     import jax
 
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
@@ -260,6 +443,56 @@ def test_from_config(
     mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
     if mesh is not None:
         variables = jax.device_put(variables, replicated_sharding(mesh))
+    test_cfg = cfg.test_cfg.to_dict()
+    if strict:
+        test_cfg = strict_eval_overrides(test_cfg)
+
+    tta = test_cfg.get("tta")
+    if tta and tta.get("scales"):
+        from ..core.anchors import generate_anchors
+        from .common import _build_bop, anchor_cfg_from_model
+
+        model_cfg = cfg.model.to_dict()
+        la = cfg.get("label_assignment")
+        anchor_cfg = anchor_cfg_from_model(
+            model_cfg, la.to_dict() if la is not None else None
+        )
+        data_cfg = cfg.data[split].to_dict()
+        pipe = data_cfg["pipeline"]
+        divisor = next(
+            (t.get("size_divisor", 32) for t in pipe if t["type"] == "Pad"), 32
+        )
+        datasets, anchors_list, counts_list = [], [], []
+        for s in tta["scales"]:
+            s = tuple(s)  # (w, h)
+            size_s = tta_padded_size(s, divisor)
+            pipe_s = [
+                dict(t, img_scale=s) if t["type"] == "Resize" else dict(t)
+                for t in pipe
+            ]
+            datasets.append(
+                _build_bop(cfg, dict(data_cfg, pipeline=pipe_s), True, input_size=size_s)
+            )
+            a, _, _, c = generate_anchors(size_s, anchor_cfg)
+            anchors_list.append(a)
+            counts_list.append(c)
+        results = run_tta_inference(
+            model,
+            variables,
+            datasets,
+            anchors_list=anchors_list,
+            counts_list=counts_list,
+            img_norm=cfg.img_norm_cfg.to_dict(),
+            test_cfg=test_cfg,
+            batch_size=batch_size,
+            normalizer=normalizer_from_cfg(cfg),
+            flip=bool(tta.get("flip", False)),
+        )
+        dataset = datasets[0]
+        if fmt_only:
+            return dataset, results, None
+        return dataset, results, evaluate_results(dataset, results)
+
     results = run_inference(
         model,
         variables,
@@ -267,7 +500,7 @@ def test_from_config(
         anchors=anchors,
         level_counts=counts,
         img_norm=cfg.img_norm_cfg.to_dict(),
-        test_cfg=cfg.test_cfg.to_dict(),
+        test_cfg=test_cfg,
         batch_size=batch_size,
         normalizer=normalizer_from_cfg(cfg),
         aug_flip=bool(cfg.test_cfg.get("flip_tta", False)),

@@ -1,6 +1,6 @@
 import numpy as np
 
-from radet_tpu.apis.test import _merge_flip_aug
+from radet_tpu.apis.test import _merge_flip_aug, tta_padded_size
 from radet_tpu.models.postprocess import Detections
 
 
@@ -45,3 +45,85 @@ def test_flip_merge_unflips_and_fuses():
     np.testing.assert_allclose(ob[0, 0], [10, 20, 50, 60], atol=1e-3)
     assert ol[0, 0] == 2
     np.testing.assert_allclose(osc[0, 0], 0.9, atol=1e-6)
+
+
+def test_tta_padded_size():
+    assert tta_padded_size((640, 480)) == (480, 640)
+    assert tta_padded_size((600, 450)) == (480, 608)
+    assert tta_padded_size((160, 128), size_divisor=32) == (128, 160)
+    assert tta_padded_size((200, 150), size_divisor=32) == (160, 224)
+
+
+def test_multiscale_flip_tta_end_to_end(tmp_path):
+    """test_cfg.tta with two scales + flip drives per-scale dataset views,
+    per-scale compiled steps, and host vote-NMS fusion (VERDICT r1 item 9)."""
+    import sys, os.path as osp
+
+    sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+    from fixtures import make_synthetic_bop
+
+    from radet_tpu.apis.common import build_model_and_anchors, init_variables
+    from radet_tpu.apis.test import test_from_config
+    from radet_tpu.utils import Config
+
+    root = tmp_path / "bop"
+    make_synthetic_bop(
+        str(root), num_scenes=1, images_per_scene=3, img_hw=(128, 160), num_classes=3
+    )
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        f"""
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
+test_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="Resize", img_scale=(160, 128), keep_ratio=True),
+    dict(type="Pad", size_divisor=32),
+]
+model = dict(
+    type="RADet",
+    backbone=dict(depth=18, out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    neck=dict(out_channels=32, start_level=1, num_outs=5),
+    bbox_head=dict(
+        num_classes=3, in_channels=32, stacked_convs=1, feat_channels=32,
+        anchor_generator=dict(ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
+                              strides=[8, 16, 32, 64, 128]),
+        bbox_coder=dict(type="TBLRBBoxCoder", normalizer=1/8),
+    ),
+)
+test_cfg = dict(
+    nms_pre=1000, score_thr=0.05, max_per_img=20,
+    nms=dict(type="vote", iou_threshold=0.65, cluster_score=["cls", "iou"],
+             vote_score=["iou", "cls"], iou_enable=False, sigma=0.025),
+    tta=dict(scales=[(160, 128), (192, 160)], flip=True),
+)
+input_size = (128, 160)
+data = dict(
+    samples_per_gpu=2,
+    workers_per_gpu=2,
+    test=dict(
+        ann_file=r"{root}/detector_annotations/train_pbr.json",
+        img_prefix=r"{root}/train_pbr/",
+        pipeline=test_pipeline,
+        bop_submission=True,
+    ),
+)
+"""
+    )
+    cfg = Config.fromfile(str(cfg_path))
+    model, _, _, _ = build_model_and_anchors(cfg)
+    variables = init_variables(model, (128, 160))
+    dataset, results, metrics = test_from_config(
+        cfg, variables, split="test", batch_size=2
+    )
+    assert len(results) == 3
+    ids = sorted(int(r["img_id"]) for r in results)
+    assert ids == sorted(dataset.img_ids)
+    for r in results:
+        assert r["boxes"].shape[1] == 4
+        assert len(r["boxes"]) == len(r["scores"]) == len(r["labels"])
+        assert len(r["boxes"]) <= 20
+        # detections are in original image coords
+        if len(r["boxes"]):
+            assert r["boxes"][:, 2].max() <= 161
+            assert r["boxes"][:, 3].max() <= 129
+    assert "bbox_mAP" in metrics

@@ -37,6 +37,13 @@ def parse_args():
     p.add_argument("--show-dir", default=None,
                    help="draw detections onto images and save here (reference --show-dir)")
     p.add_argument("--show-score-thr", type=float, default=0.3)
+    p.add_argument(
+        "--fast",
+        action="store_true",
+        help="use the fast deploy candidate path (global approximate top-k) "
+        "instead of the default strict reference semantics (per-level exact "
+        "top-k) — see apis/test.strict_eval_overrides",
+    )
     p.add_argument("--cfg-options", nargs="+", default=None)
     return p.parse_args()
 
@@ -60,6 +67,7 @@ def main():
         split=args.split,
         batch_size=args.batch_size,
         fmt_only=args.format_only and args.eval is None,
+        strict=not args.fast,
     )
 
     if args.out:
