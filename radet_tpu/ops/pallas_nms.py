@@ -1,30 +1,51 @@
-"""Fused vote-NMS as a single Pallas TPU kernel.
+"""Fused vote-NMS as a single tiled Pallas TPU kernel.
 
 One kernel invocation per image (grid over the batch) performs the whole
 vote-NMS pipeline in VMEM with no HBM round-trips between stages:
 
-  1. pairwise IoU + same-label adjacency (K x K, f32, VMEM-resident),
-  2. the parallel-greedy keep-mask fixed point (lax.while_loop of
-     masked matrix-vector products on the MXU),
-  3. lowest-index-seed membership assignment,
-  4. weighted coordinate voting with the 1-sigma refilter
-     (two masked matmuls per coordinate).
+  1. tile-sequential greedy suppression: boxes are processed in 128-wide
+     tiles in cluster-score order; each tile's keep mask is blocked by the
+     already-final keep of earlier tiles (one 128x128 IoU tile + matvec per
+     earlier tile) and resolved within the tile by the parallel-greedy
+     fixed point (lax.while_loop of masked matrix-vector products).  This
+     is EXACTLY sequential greedy NMS: box i's fate depends only on boxes
+     before it,
+  2. optional global-mode per-label dedup sweep,
+  3. lowest-index-seed membership (per 128x128 tile pair),
+  4. weighted coordinate voting with the 1-sigma refilter (two masked
+     matmul passes per tile pair).
+
+No (K, K) intermediate is ever materialized — every pairwise quantity is
+(re)computed per 128x128 tile inside fori_loops, so Mosaic compiles a
+constant-size kernel body regardless of K (the round-1 single-block kernel
+compiled the full (K, K) ops inline and Mosaic blew up superlinearly:
+K=128 ~9 s, K=256 ~67 s, K=512 timed out; the tiled kernel compiles in
+~10 s at any K).
+
+Measured on a v5e chip (batch 8, 400/900 live candidates, deep clusters),
+against vote_nms_device_fast (XLA HLO, same algorithm):
+
+  K=512:  pallas 2.2 ms vs XLA 2.7 ms  (1.25x faster; compile 10 s vs 3 s)
+  K=1024: pallas 5.3 ms vs XLA 3.0 ms  (XLA wins: the kernel's sequential
+          fori_loop tile sweeps are O(T^2) with per-iteration overhead,
+          while XLA parallelizes the full (K, K) ops)
+
+Default selection: ``nms_impl='pallas'`` wins at the flagship deploy config
+(nms_topk=512); the XLA path remains the default for strict-eval
+(nms_topk>=2048) and is chosen automatically there.  Suppression sets agree
+EXACTLY between the two; voted coordinates may differ on a <0.5% tail of
+1-sigma boundary flips (different f32 accumulation orders — both
+implementations sit ~1.6% from the f64 oracle on adversarial deep-cluster
+scenes, dominated by the same flips).
 
 Inputs must be pre-sorted by descending cluster score with invalid slots
 last (models/postprocess.py does a global top-k that returns exactly this).
 Semantics are identical to ops/vote_nms.py::vote_nms_device_fast (same
-fixed-point formulation), which is itself exact-parity-tested against the
-sequential C++-semantics oracle.
+formulation), which is itself exact-parity-tested against the sequential
+C++-semantics oracle (reference /root/reference/radet/ops/vote/
+vote_ext.cpp:70-353).
 
 K must be a multiple of 128 (MXU lane width).
-
-Status: exact-parity-tested (interpret + compiled); practical for K <= 256.
-Mosaic compile time grows superlinearly with the single-block (K, K) ops
-(K=128 ~9 s, K=256 ~67 s, K=512 times out in this harness), so the default
-production path remains ops/vote_nms.py::vote_nms_device_fast — the same
-algorithm expressed in XLA HLO, which the TPU compiler handles well at
-K=1024.  Select this kernel with test_cfg ``nms_impl='pallas'`` +
-``nms_topk<=256``; a tiled multi-block rewrite would lift the K limit.
 """
 
 from __future__ import annotations
@@ -38,16 +59,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+TILE = 128
 
 
-def _nms_kernel(
+def _matvec(m, v):
+    """(T, T) @ (T,) -> (T,) on the MXU.
+
+    Precision.HIGHEST: the MXU multiplies in bf16 by default, which
+    quantizes voted coordinates (~1 px at 300 px) — the multi-pass f32
+    mode keeps voting exact and these 128x128 products are far from the
+    kernel's critical path."""
+    return jax.lax.dot_general(
+        m, v[:, None], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )[:, 0]
+
+
+def _matmul(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _nms_kernel_tiled(
     boxes_ref,  # (K, 4) f32, sorted by cluster score desc
-    cscore_ref,  # (1, K) f32
+    cscore_ref,  # (1, K) f32 (unused in-kernel; scores re-gathered outside)
     vscore_ref,  # (1, K) f32
     labels_ref,  # (1, K) i32
     valid_ref,  # (1, K) i32 (0/1)
     voted_ref,  # out (K, 4) f32
     keep_ref,  # out (1, K) i32
+    keep_s,  # scratch (1, K) f32 — greedy keep (pre global-dedup)
+    keep2_s,  # scratch (1, K) f32 — final keep
+    seed_s,  # scratch (1, K) i32 — seed index per box (K = no seed)
     *,
     iou_threshold: float,
     iou_enable: bool,
@@ -55,107 +102,196 @@ def _nms_kernel(
     global_mode: bool,
 ):
     k = boxes_ref.shape[0]
-    boxes = boxes_ref[:]  # (K, 4)
-    labels = labels_ref[0, :]  # (K,)
+    n_tiles = k // TILE
     # NB masks are carried as f32: Mosaic cannot reshape 1-bit vectors to 2D
-    valid_f = (valid_ref[0, :] > 0).astype(jnp.float32)  # (K,)
-    vscore = vscore_ref[0, :]
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
 
-    x1 = boxes[:, 0]
-    y1 = boxes[:, 1]
-    x2 = boxes[:, 2]
-    y2 = boxes[:, 3]
-    # pairwise IoU (rows = seed i, cols = box j)
-    xl = jnp.maximum(x1[:, None], x1[None, :])
-    yt = jnp.maximum(y1[:, None], y1[None, :])
-    xr = jnp.minimum(x2[:, None], x2[None, :])
-    yb = jnp.minimum(y2[:, None], y2[None, :])
-    inter = jnp.maximum(xr - xl, 0.0) * jnp.maximum(yb - yt, 0.0)
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)
-    iou = inter / jnp.maximum(area[:, None] + area[None, :] - inter, 1e-12)
+    def _tile(t):
+        off = pl.multiple_of(t * TILE, TILE)
+        b = boxes_ref[pl.ds(off, TILE), :]
+        lab = labels_ref[0, pl.ds(off, TILE)]
+        val = (valid_ref[0, pl.ds(off, TILE)] > 0).astype(jnp.float32)
+        return b, lab, val
 
-    same_label = (labels[:, None] == labels[None, :]).astype(jnp.float32)
-    pair_valid = valid_f[:, None] * valid_f[None, :]
-    ok_f = (iou > iou_threshold).astype(jnp.float32) * same_label * pair_valid
+    def _iou_ok(br, lr, vr, bc, lc, vc):
+        """rows = tile r boxes, cols = tile c boxes: (iou, adjacency)."""
+        xl = jnp.maximum(br[:, 0][:, None], bc[:, 0][None, :])
+        yt = jnp.maximum(br[:, 1][:, None], bc[:, 1][None, :])
+        xr = jnp.minimum(br[:, 2][:, None], bc[:, 2][None, :])
+        yb = jnp.minimum(br[:, 3][:, None], bc[:, 3][None, :])
+        inter = jnp.maximum(xr - xl, 0.0) * jnp.maximum(yb - yt, 0.0)
+        ar = jnp.maximum(br[:, 2] - br[:, 0], 0.0) * jnp.maximum(br[:, 3] - br[:, 1], 0.0)
+        ac = jnp.maximum(bc[:, 2] - bc[:, 0], 0.0) * jnp.maximum(bc[:, 3] - bc[:, 1], 0.0)
+        iou = inter / jnp.maximum(ar[:, None] + ac[None, :] - inter, 1e-12)
+        same = (lr[:, None] == lc[None, :]).astype(jnp.float32)
+        ok = (iou > iou_threshold).astype(jnp.float32) * same * vr[:, None] * vc[None, :]
+        return iou, ok
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 0)
-    col_ids = jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
-    lower_f = (col_ids < row_ids).astype(jnp.float32)  # blockers: j before i
-    blockers = ok_f * lower_f  # (K, K)
+    # ------------------------------------------------------------------
+    # Phase A — tile-sequential greedy keep.  Box i depends only on boxes
+    # j < i, so resolving tiles in score order with earlier tiles' FINAL
+    # keep is exactly sequential greedy NMS.
+    # ------------------------------------------------------------------
+    def _phase_a(t, carry):
+        bt, lt, vt = _tile(t)
+        off_t = pl.multiple_of(t * TILE, TILE)
 
-    def cond(state):
-        _, changed = state
-        return changed
+        def _earlier(s, blocked):
+            bs, ls, vs = _tile(s)
+            ks = keep_s[0, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
+            _, ok = _iou_ok(bt, lt, vt, bs, ls, vs)
+            return blocked + _matvec(ok, ks)
 
-    def body(state):
-        keep, _ = state
-        blocked = jax.lax.dot_general(
-            blockers,
-            keep[:, None],
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]
-        new_keep = valid_f * (blocked < 0.5).astype(jnp.float32)
-        return new_keep, jnp.any(new_keep != keep)
+        blocked = jax.lax.fori_loop(0, t, _earlier, jnp.zeros((TILE,), jnp.float32))
+        base = vt * (blocked < 0.5).astype(jnp.float32)
 
-    keep, _ = jax.lax.while_loop(cond, body, (valid_f, True))
+        _, ok_tt = _iou_ok(bt, lt, vt, bt, lt, vt)
+        blockers = ok_tt * (col_i < row_i).astype(jnp.float32)
 
+        def _cond(state):
+            return state[1]
+
+        def _body(state):
+            kp, _ = state
+            blk = _matvec(blockers, kp)
+            nk = base * (blk < 0.5).astype(jnp.float32)
+            return nk, jnp.any(nk != kp)
+
+        kp, _ = jax.lax.while_loop(_cond, _body, (base, True))
+        keep_s[0, pl.ds(off_t, TILE)] = kp
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, _phase_a, 0)
+
+    # ------------------------------------------------------------------
+    # Global mode: drop kept boxes whose label was already emitted by an
+    # earlier kept box (computed from the PRE-dedup keep, matching
+    # vote_nms_device_fast / global_vote_nms semantics).
+    # ------------------------------------------------------------------
     if global_mode:
-        # only the first kept seed per label survives
-        earlier_same = same_label * lower_f * keep[None, :]
-        dup = jnp.sum(earlier_same, axis=1)
-        keep = keep * (dup < 0.5).astype(jnp.float32)
 
-    # membership: lowest-index kept seed covering each box (diag of ok is
-    # True for valid boxes since IoU(i,i)=1)
-    upper_incl = (row_ids <= col_ids).astype(jnp.float32)
-    cand = ok_f * upper_incl * keep[:, None]  # (seed, box)
-    seed_idx = jnp.min(
-        jnp.where(cand > 0.5, row_ids, k).astype(jnp.int32), axis=0
-    )  # (K,)
-    member = (row_ids == seed_idx[None, :]).astype(jnp.float32) * cand
+        def _dedup(t, carry):
+            bt, lt, vt = _tile(t)
+            off_t = pl.multiple_of(t * TILE, TILE)
+            kp_t = keep_s[0, pl.ds(off_t, TILE)]
+            row_g = t * TILE + row_i  # (TILE, TILE) global row ids
 
-    if iou_enable:
-        w = member * vscore[None, :] * jnp.exp(-((1.0 - iou) ** 2) / sigma)
+            def _scan(s, dup):
+                _, ls, _ = _tile(s)
+                ks = keep_s[0, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
+                same = (lt[:, None] == ls[None, :]).astype(jnp.float32)
+                col_g = s * TILE + col_i
+                earlier = (col_g < row_g).astype(jnp.float32)
+                return dup + _matvec(same * earlier, ks)
+
+            dup = jax.lax.fori_loop(0, t + 1, _scan, jnp.zeros((TILE,), jnp.float32))
+            keep2_s[0, pl.ds(off_t, TILE)] = kp_t * (dup < 0.5).astype(jnp.float32)
+            return carry
+
+        jax.lax.fori_loop(0, n_tiles, _dedup, 0)
     else:
-        w = member * vscore[None, :]
+        keep2_s[0, :] = keep_s[0, :]
 
-    wsum = jnp.maximum(
-        jax.lax.dot_general(
-            w, jnp.ones((k, 1), jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ),
-        1e-12,
-    )  # (K, 1)
-    mean = (
-        jax.lax.dot_general(w, boxes, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        / wsum
-    )  # (K, 4)
-    sq = jax.lax.dot_general(
-        w, boxes * boxes, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / wsum
-    sig = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
-    lo = mean - sig
-    hi = mean + sig
+    # ------------------------------------------------------------------
+    # Membership: seed(j) = lowest-index kept i <= j with ok(i, j).
+    # ------------------------------------------------------------------
+    def _seeds(c, carry):
+        bc, lc, vc = _tile(c)
+        off_c = pl.multiple_of(c * TILE, TILE)
 
-    voted_cols = []
-    for c in range(4):
-        xc = boxes[:, c]
-        inlier = (
-            (xc[None, :] >= lo[:, c][:, None]) & (xc[None, :] <= hi[:, c][:, None])
-        ).astype(jnp.float32)
-        w2 = w * inlier
-        denom = jax.lax.dot_general(
-            w2, jnp.ones((k, 1), jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )[:, 0]
-        num = jax.lax.dot_general(
-            w2, xc[:, None], (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )[:, 0]
-        voted_cols.append(jnp.where(denom > 0, num / jnp.maximum(denom, 1e-12), mean[:, c]))
+        def _scan(r, best):
+            br, lr, vr = _tile(r)
+            kr = keep2_s[0, pl.ds(pl.multiple_of(r * TILE, TILE), TILE)]
+            _, ok = _iou_ok(br, lr, vr, bc, lc, vc)
+            row_g = r * TILE + row_i
+            col_g = c * TILE + col_i
+            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            cand_seed = jnp.where(cand > 0.5, row_g, k)
+            return jnp.minimum(best, jnp.min(cand_seed, axis=0))
 
-    voted_ref[:] = jnp.stack(voted_cols, axis=-1)
-    keep_ref[0, :] = keep.astype(jnp.int32)
+        best = jax.lax.fori_loop(0, c + 1, _scan, jnp.full((TILE,), k, jnp.int32))
+        seed_s[0, pl.ds(off_c, TILE)] = best
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, _seeds, 0)
+
+    # ------------------------------------------------------------------
+    # Voting: per row (seed) tile, two passes over col tiles >= r —
+    # pass 1 accumulates weighted mean/variance, pass 2 the 1-sigma
+    # inlier-refiltered weighted mean.
+    # ------------------------------------------------------------------
+    def _vote(r, carry):
+        br, lr, vr = _tile(r)
+        off_r = pl.multiple_of(r * TILE, TILE)
+        kr = keep2_s[0, pl.ds(off_r, TILE)]
+        row_g = r * TILE + row_i
+
+        def _member_w(c):
+            bc, lc, vc = _tile(c)
+            iou, ok = _iou_ok(br, lr, vr, bc, lc, vc)
+            col_g = c * TILE + col_i
+            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            seed_c = seed_s[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
+            member = (row_g == seed_c[None, :]).astype(jnp.float32) * cand
+            vs_c = vscore_ref[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
+            w = member * vs_c[None, :]
+            if iou_enable:
+                w = w * jnp.exp(-((1.0 - iou) ** 2) / sigma)
+            return w, bc
+
+        def _pass1(c, acc):
+            accw, accb, accsq = acc
+            w, bc = _member_w(c)
+            accw = accw + _matvec(w, jnp.ones((TILE,), jnp.float32))
+            accb = accb + _matmul(w, bc)
+            accsq = accsq + _matmul(w, bc * bc)
+            return accw, accb, accsq
+
+        accw, accb, accsq = jax.lax.fori_loop(
+            r,
+            n_tiles,
+            _pass1,
+            (
+                jnp.zeros((TILE,), jnp.float32),
+                jnp.zeros((TILE, 4), jnp.float32),
+                jnp.zeros((TILE, 4), jnp.float32),
+            ),
+        )
+        wsum = jnp.maximum(accw, 1e-12)[:, None]
+        mean = accb / wsum
+        sq = accsq / wsum
+        sig = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
+        lo = mean - sig
+        hi = mean + sig
+
+        def _pass2(c, acc):
+            den, num = acc
+            w, bc = _member_w(c)
+            dcols, ncols = [], []
+            for coord in range(4):
+                xc = bc[:, coord]
+                inlier = (
+                    (xc[None, :] >= lo[:, coord][:, None])
+                    & (xc[None, :] <= hi[:, coord][:, None])
+                ).astype(jnp.float32)
+                w2 = w * inlier
+                dcols.append(_matvec(w2, jnp.ones((TILE,), jnp.float32)))
+                ncols.append(_matvec(w2, xc))
+            return den + jnp.stack(dcols, -1), num + jnp.stack(ncols, -1)
+
+        den, num = jax.lax.fori_loop(
+            r,
+            n_tiles,
+            _pass2,
+            (jnp.zeros((TILE, 4), jnp.float32), jnp.zeros((TILE, 4), jnp.float32)),
+        )
+        voted = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), mean)
+        voted_ref[pl.ds(off_r, TILE), :] = voted
+        keep_ref[0, pl.ds(off_r, TILE)] = kr.astype(jnp.int32)
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, _vote, 0)
 
 
 @functools.partial(
@@ -179,10 +315,10 @@ def vote_nms_pallas(
     """Batched fused vote-NMS. Same outputs as vote_nms_device_fast (vmapped):
     (boxes (B,max_out,4), labels, scores, valid)."""
     b, k, _ = boxes.shape
-    assert k % 128 == 0, f"K must be a multiple of 128, got {k}"
+    assert k % TILE == 0, f"K must be a multiple of {TILE}, got {k}"
 
     kernel = functools.partial(
-        _nms_kernel,
+        _nms_kernel_tiled,
         iou_threshold=iou_threshold,
         iou_enable=iou_enable,
         sigma=sigma,
@@ -205,6 +341,11 @@ def vote_nms_pallas(
         out_shape=[
             jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
             jax.ShapeDtypeStruct((b, 1, k), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, k), jnp.float32),  # keep (pre-dedup)
+            pltpu.VMEM((1, k), jnp.float32),  # keep (final)
+            pltpu.VMEM((1, k), jnp.int32),  # seed index per box
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

@@ -10,22 +10,22 @@ from radet_tpu.ops.vote_nms import vote_nms_numpy
 K = 128  # kernel needs a multiple of 128
 
 
-def _sorted_dets(rng, n_real, num_labels=3):
+def _sorted_dets(rng, n_real, num_labels=3, k=K):
     centers = rng.uniform(50, 400, (8, 2))
     idx = rng.randint(0, 8, n_real)
     cx = centers[idx, 0] + rng.randn(n_real) * 3
     cy = centers[idx, 1] + rng.randn(n_real) * 3
     w = rng.uniform(40, 60, n_real)
     h = rng.uniform(40, 60, n_real)
-    boxes = np.zeros((K, 4), np.float32)
+    boxes = np.zeros((k, 4), np.float32)
     boxes[:n_real] = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
-    cluster = np.zeros(K, np.float32)
+    cluster = np.zeros(k, np.float32)
     cluster[:n_real] = np.sort(rng.uniform(0.1, 1.0, n_real))[::-1]  # sorted desc
-    vote = np.zeros(K, np.float32)
+    vote = np.zeros(k, np.float32)
     vote[:n_real] = rng.uniform(0.1, 1.0, n_real)
-    labels = np.zeros(K, np.int32)
+    labels = np.zeros(k, np.int32)
     labels[:n_real] = (idx % num_labels).astype(np.int32)
-    valid = np.zeros(K, bool)
+    valid = np.zeros(k, bool)
     valid[:n_real] = True
     return boxes, cluster, vote, labels, valid
 
@@ -61,6 +61,36 @@ def test_pallas_matches_oracle(rng, global_mode, iou_enable):
         np.testing.assert_allclose(db[i][:n], ob, rtol=1e-3, atol=1e-2)
         np.testing.assert_array_equal(dl[i][:n], ol)
         np.testing.assert_allclose(dsc[i][:n], osc, rtol=1e-5)
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+def test_pallas_multitile_matches_oracle(rng, global_mode):
+    """K=256 (two 128-tiles) with candidates spanning both tiles: exercises
+    the tiled kernel's cross-tile suppression, dedup, seed membership, and
+    voting accumulation paths that K=128 cannot reach."""
+    k = 256
+    boxes, cluster, vote, labels, valid = _sorted_dets(rng, n_real=220, k=k)
+    ob, ol, osc = vote_nms_numpy(
+        boxes[:220], cluster[:220], vote[:220], labels[:220],
+        0.5, False, 0.025, global_mode,
+    )
+    db, dl, dsc, dv = vote_nms_pallas(
+        jnp.asarray(boxes)[None],
+        jnp.asarray(cluster)[None],
+        jnp.asarray(vote)[None],
+        jnp.asarray(labels)[None],
+        jnp.asarray(valid)[None],
+        iou_threshold=0.5,
+        max_out=100,
+        global_mode=global_mode,
+        interpret=True,
+    )
+    db, dl, dsc, dv = map(np.asarray, (db, dl, dsc, dv))
+    n = int(dv[0].sum())
+    assert n == min(len(ob), 100)
+    np.testing.assert_allclose(db[0][:n], ob[:n], rtol=1e-3, atol=1e-2)
+    np.testing.assert_array_equal(dl[0][:n], ol[:n])
+    np.testing.assert_allclose(dsc[0][:n], osc[:n], rtol=1e-5)
 
 
 def test_pallas_empty_input(rng):
