@@ -83,13 +83,46 @@ def main():
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 
+    # honesty pass (VERDICT r1 item 10): also measure with the host->device
+    # input transfer INSIDE the timed loop, and measure the link itself so
+    # the two numbers can be interpreted.  On this harness the chip sits
+    # behind a network relay (~15 MB/s), so host-inclusive throughput is
+    # link-bound and NOT representative of a real TPU host (PCIe: the 30 MB
+    # uint8 batch is ~10 ms, fully overlapped by the prefetching loader).
+    host_batches = [
+        rs.randint(0, 255, (BATCH, h, w, 3), np.uint8) for _ in range(2)
+    ]
+    t0 = time.perf_counter()
+    n_host = 2
+    for i in range(n_host):
+        dev = jax.device_put(host_batches[i % len(host_batches)])
+        float(infer_summed(variables, dev, shapes, scales)[1])
+    dt_host = time.perf_counter() - t0
+    ips_host = BATCH * n_host / dt_host
+
+    t0 = time.perf_counter()
+    jax.block_until_ready(jax.device_put(host_batches[0]))
+    link_mbs = host_batches[0].nbytes / (time.perf_counter() - t0) / 1e6
+
     print(
         json.dumps(
             dict(
-                metric=f"images/sec/chip (r50_ycbv_pbr e2e inference, batch {BATCH}, 480x640, bf16)",
+                metric=f"images/sec/chip (r50_ycbv_pbr device-pipeline inference, batch {BATCH}, 480x640, bf16)",
                 value=round(ips, 1),
                 unit="img/s",
                 vs_baseline=round(ips / REFERENCE_GPU_IPS, 2),
+                host_inclusive_img_s=round(ips_host, 1),
+                host_link_MBps=round(link_mbs, 1),
+                provenance=(
+                    "value = device-pipeline throughput (inputs staged on device; "
+                    "readback = one checksum draining the dispatch queue). "
+                    "host_inclusive_img_s includes per-batch host->device transfer "
+                    f"over this harness's link ({link_mbs:.0f} MB/s relay; a real "
+                    "TPU host PCIe link moves the 30 MB batch in ~10 ms, overlapped). "
+                    f"vs_baseline divides by an ASSUMED {REFERENCE_GPU_IPS:.0f} img/s "
+                    "reference-GPU figure — the reference repo publishes no speed "
+                    "numbers (BASELINE.md)."
+                ),
             )
         )
     )
