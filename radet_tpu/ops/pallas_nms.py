@@ -30,9 +30,12 @@ against vote_nms_device_fast (XLA HLO, same algorithm):
           fori_loop tile sweeps are O(T^2) with per-iteration overhead,
           while XLA parallelizes the full (K, K) ops)
 
-Default selection: ``nms_impl='pallas'`` wins at the flagship deploy config
-(nms_topk=512); the XLA path remains the default for strict-eval
-(nms_topk>=2048) and is chosen automatically there.  Suppression sets agree
+Batch scaling caveat (measured, batch 128 deploy config, K=512): the
+kernel's grid=(B,) programs run SEQUENTIALLY on the TensorCore, so at large
+batch the XLA formulation — whose (B, K, K) matmuls batch onto the MXU —
+wins end-to-end (postprocess 16 ms vs 36 ms per batch-128).  ``nms_impl``
+therefore defaults to 'fast' everywhere; select 'pallas' for small-batch /
+latency-sensitive serving (1.25x at batch<=8).  Suppression sets agree
 EXACTLY between the two; voted coordinates may differ on a <0.5% tail of
 1-sigma boundary flips (different f32 accumulation orders — both
 implementations sit ~1.6% from the f64 oracle on adversarial deep-cluster
