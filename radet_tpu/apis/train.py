@@ -149,6 +149,7 @@ def train_detector(
         shard_id=jax.process_index(),
         num_shards=jax.process_count(),
         infinite=True,
+        worker_mode=str(cfg.data.get("worker_mode", "thread")),
     )
 
     total_iters = max_iters if max_iters is not None else int(cfg.runner.get("max_iters", 100000))

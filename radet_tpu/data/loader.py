@@ -1,10 +1,21 @@
-"""Batched, prefetching data loader (threads; cv2/PIL release the GIL).
+"""Batched, prefetching data loader (thread or process workers).
 
 Replaces the reference's torch DataLoader + DistributedGroupSampler + mmcv
 collate stack (/root/reference/radet/datasets/builder.py:83-150,
 datasets/samplers/*.py): because the TPU input path is fully static-shape at
 one fixed resolution, aspect-ratio grouping is unnecessary (SURVEY.md §7);
 sharding across hosts is plain index striding by process.
+
+Worker modes:
+
+- ``'thread'`` (default): a ThreadPoolExecutor — cv2/PIL/numpy release the
+  GIL for the heavy parts, zero startup cost;
+- ``'process'``: a spawned ProcessPoolExecutor (the torch num_workers
+  analogue) for transform chains with real python-level work that the GIL
+  would serialize.  Each task is seeded deterministically from
+  (seed, epoch, index), so augmentation randomness is reproducible and
+  independent of worker count/scheduling — stronger than the reference's
+  pid-dependent per-worker seeding (builder.py:145-150).
 
 The loader yields dicts of stacked numpy arrays; transfer to device (and
 across the mesh) is handled by the training loop via
@@ -13,10 +24,11 @@ across the mesh) is handled by the training loop via
 
 from __future__ import annotations
 
+import multiprocessing
 import queue
 import random as pyrandom
 import threading
-from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import ProcessPoolExecutor, ThreadPoolExecutor
 from typing import Any, Dict, Iterator, List, Optional
 
 import numpy as np
@@ -25,6 +37,26 @@ import numpy as np
 def collate(samples: List[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     keys = samples[0].keys()
     return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+_WORKER_DATASET = None
+
+
+def _process_worker_init(ds_bytes: bytes):
+    global _WORKER_DATASET
+    import pickle
+
+    _WORKER_DATASET = pickle.loads(ds_bytes)
+
+
+def _process_worker_get(idx: int, task_seed: int):
+    np.random.seed(task_seed)
+    pyrandom.seed(task_seed)
+    return _WORKER_DATASET[idx]
+
+
+def _task_seed(seed: int, epoch: int, idx: int) -> int:
+    return (seed * 1_000_003 + epoch * 131_071 + idx) % (2 ** 31 - 1)
 
 
 class DataLoader:
@@ -48,7 +80,10 @@ class DataLoader:
         drop_last: bool = True,
         infinite: bool = False,
         prefetch_batches: int = 2,
+        worker_mode: str = "thread",
     ):
+        if worker_mode not in ("thread", "process"):
+            raise ValueError(f"worker_mode must be 'thread' or 'process', got {worker_mode!r}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -59,6 +94,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.infinite = infinite
         self.prefetch_batches = prefetch_batches
+        self.worker_mode = worker_mode
 
     def _epoch_indices(self, epoch: int) -> List[int]:
         n = len(self.dataset)
@@ -79,17 +115,38 @@ class DataLoader:
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_stream(self):
-        """Indices across epochs. In infinite mode epochs chain seamlessly, so
-        datasets smaller than a batch still fill batches (with repeats)."""
+        """(epoch, index) pairs across epochs. In infinite mode epochs chain
+        seamlessly, so datasets smaller than a batch still fill batches
+        (with repeats)."""
         epoch = 0
         while True:
             indices = self._epoch_indices(epoch)
             if not indices:
                 return
-            yield from indices
+            for idx in indices:
+                yield epoch, idx
             epoch += 1
             if not self.infinite:
                 return
+
+    def _make_executor(self):
+        if self.worker_mode == "process":
+            import pickle
+
+            return ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=multiprocessing.get_context("spawn"),
+                initializer=_process_worker_init,
+                initargs=(pickle.dumps(self.dataset),),
+            )
+        return ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _submit(self, executor, epoch: int, idx: int):
+        if self.worker_mode == "process":
+            return executor.submit(
+                _process_worker_get, idx, _task_seed(self.seed, epoch, idx)
+            )
+        return executor.submit(self.dataset.__getitem__, idx)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
@@ -98,7 +155,7 @@ class DataLoader:
         def producer():
             from collections import deque
 
-            executor = ThreadPoolExecutor(max_workers=self.num_workers)
+            executor = self._make_executor()
             window = max(self.num_workers * 2, self.batch_size * (self.prefetch_batches + 1))
             error = None
             try:
@@ -108,11 +165,11 @@ class DataLoader:
                 exhausted = False
                 while not stop.is_set():
                     while not exhausted and len(pending) < window:
-                        idx = next(stream, None)
-                        if idx is None:
+                        nxt = next(stream, None)
+                        if nxt is None:
                             exhausted = True
                             break
-                        pending.append(executor.submit(self.dataset.__getitem__, idx))
+                        pending.append(self._submit(executor, *nxt))
                     if not pending:
                         if current and not self.drop_last:
                             out_q.put(collate(current))

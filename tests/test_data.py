@@ -129,6 +129,56 @@ def test_loader_sharding(bop_root):
     assert len(ids) == 4  # both shards together cover the dataset
 
 
+def test_loader_process_workers_match_thread(bop_root):
+    """worker_mode='process' (spawned ProcessPoolExecutor) yields exactly the
+    same deterministic test-mode batches as the thread loader."""
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=TEST_PIPELINE,
+        input_size=(480, 640), test_mode=True,
+    )
+    kw = dict(batch_size=2, shuffle=False, drop_last=False)
+    thread_batches = list(DataLoader(ds, num_workers=2, **kw))
+    proc_batches = list(DataLoader(ds, num_workers=2, worker_mode="process", **kw))
+    assert len(thread_batches) == len(proc_batches)
+    for tb, pb in zip(thread_batches, proc_batches):
+        assert tb.keys() == pb.keys()
+        for k in tb:
+            np.testing.assert_array_equal(tb[k], pb[k])
+
+
+def test_loader_process_workers_train_mode(bop_root):
+    """Augmenting train pipeline under process workers: batches form, shapes
+    static; per-task seeding makes the run reproducible."""
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=TRAIN_PIPELINE, input_size=(480, 640)
+    )
+    def run():
+        loader = DataLoader(
+            ds, batch_size=2, shuffle=True, num_workers=2,
+            worker_mode="process", drop_last=True, seed=3,
+        )
+        return list(loader)
+    a = run()
+    b = run()
+    assert len(a) == len(b) == 2
+    assert a[0]["image"].shape == (2, 480, 640, 3)
+    for ba, bb in zip(a, b):
+        np.testing.assert_array_equal(ba["image"], bb["image"])
+        np.testing.assert_array_equal(ba["gt_boxes"], bb["gt_boxes"])
+
+
+def test_loader_rejects_unknown_worker_mode(bop_root):
+    root, ann_file, img_prefix = bop_root
+    ds = BOPDataset(
+        ann_file, img_prefix=img_prefix, pipeline=TEST_PIPELINE,
+        input_size=(480, 640), test_mode=True,
+    )
+    with pytest.raises(ValueError):
+        DataLoader(ds, batch_size=1, worker_mode="greenlet")
+
+
 def test_min_visib_filtering(bop_root, tmp_path):
     import json
 
