@@ -496,6 +496,90 @@ class CutOut:
         return results
 
 
+class Albu:
+    """Albumentations-library bridge (reference transforms.py:1191-1386).
+
+    Config-dict-driven construction of an albumentations Compose over
+    img/gt_bboxes/gt_masks (xyxy = 'pascal_voc'). The library is optional in
+    this environment: construction raises a clear ImportError when absent
+    (the reference hard-fails identically, transforms.py:1239-1240)."""
+
+    def __init__(self, transforms: Sequence[dict], bbox_params: Optional[dict] = None,
+                 skip_img_without_anno: bool = False):
+        try:
+            import albumentations as A
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "Albu requires the 'albumentations' package (not installed "
+                "in this environment); use the built-in crop/photometric "
+                "transforms instead"
+            ) from e
+        self._A = A
+        self.skip_img_without_anno = skip_img_without_anno
+
+        def build(cfg):
+            cfg = dict(cfg)
+            t = getattr(A, cfg.pop("type"))
+            if "transforms" in cfg:
+                cfg["transforms"] = [build(c) for c in cfg["transforms"]]
+            return t(**cfg)
+
+        bp = None
+        if bbox_params is not None:
+            bp = A.BboxParams(format="pascal_voc", label_fields=["labels"],
+                              **{k: v for k, v in bbox_params.items()
+                                 if k not in ("type", "format", "label_fields")})
+        self.aug = A.Compose([build(t) for t in transforms], bbox_params=bp)
+        self.with_bboxes = bp is not None
+
+    def __call__(self, results: Dict[str, Any]):
+        kwargs = dict(image=results["img"])
+        if self.with_bboxes:
+            kwargs["bboxes"] = [tuple(b) for b in results.get("gt_bboxes", [])]
+            kwargs["labels"] = list(results.get("gt_labels", []))
+        if "gt_masks" in results and len(results["gt_masks"]):
+            kwargs["masks"] = [m for m in results["gt_masks"]]
+        out = self.aug(**kwargs)
+        results["img"] = out["image"]
+        results["img_shape"] = out["image"].shape[:2]
+        if self.with_bboxes:
+            boxes = np.asarray(out["bboxes"], np.float32).reshape(-1, 4)
+            if not len(boxes) and self.skip_img_without_anno:
+                return None
+            results["gt_bboxes"] = boxes
+            results["gt_labels"] = np.asarray(out["labels"], np.int64)
+        if "masks" in out:
+            results["gt_masks"] = (
+                np.stack(out["masks"], 0) if out["masks"]
+                else np.zeros((0,) + results["img"].shape[:2], np.uint8)
+            )
+        return results
+
+
+class Corrupt:
+    """imagecorruptions-library bridge (reference transforms.py:1147-1183);
+    optional dependency, loud failure when absent."""
+
+    def __init__(self, corruption: str, severity: int = 1):
+        try:
+            from imagecorruptions import corrupt  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "Corrupt requires the 'imagecorruptions' package (not "
+                "installed in this environment)"
+            ) from e
+        self.corruption = corruption
+        self.severity = severity
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        from imagecorruptions import corrupt
+
+        results["img"] = corrupt(
+            results["img"], corruption_name=self.corruption, severity=self.severity
+        )
+        return results
+
+
 # ---------------------------------------------------------------------------
 # Color / BOP augmentation
 # ---------------------------------------------------------------------------
@@ -756,6 +840,8 @@ _TRANSFORMS = {
     "Expand": Expand,
     "PhotoMetricDistortion": PhotoMetricDistortion,
     "CutOut": CutOut,
+    "Albu": Albu,
+    "Corrupt": Corrupt,
     "RandomBackground": RandomBackground,
     "CosyPoseAug": CosyPoseAug,
     "RandomHSV": RandomHSV,

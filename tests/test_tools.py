@@ -144,3 +144,56 @@ def test_with_nms_false_and_min_bbox_size():
     assert np.asarray(det2.valid).sum() == 0
     det3 = get_bboxes(*args, test_cfg=dict(base_cfg, min_bbox_size=10))
     assert np.asarray(det3.valid).sum() == 1
+
+
+def test_browse_dataset_with_assignment_overlay(tmp_path):
+    """browse_dataset renders pipeline output with distance + sampled-positive
+    overlays (the reference label_assignment debug() harness)."""
+    root = tmp_path / "bop"
+    make_synthetic_bop(
+        str(root), num_scenes=1, images_per_scene=2, img_hw=(128, 160), num_classes=3
+    )
+    cfg_path = tmp_path / "cfg.py"
+    cfg_path.write_text(
+        f"""
+img_norm_cfg = dict(mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375])
+train_pipeline = [
+    dict(type="LoadImageFromFile"),
+    dict(type="LoadAnnotations", with_bbox=True, with_bop_mask=True),
+    dict(type="Resize", img_scale=(160, 128), keep_ratio=True),
+    dict(type="GenerateDistanceMap"),
+    dict(type="SampleDistanceAtAnchors"),
+    dict(type="Pad", size_divisor=16),
+]
+model = dict(
+    type="RADet",
+    backbone=dict(depth=18), neck=dict(out_channels=32, start_level=1, num_outs=5),
+    bbox_head=dict(num_classes=3, in_channels=32, stacked_convs=1, feat_channels=32,
+        anchor_generator=dict(ratios=[1.0], octave_base_scale=8, scales_per_octave=1,
+                              strides=[8, 16, 32, 64, 128]),
+        bbox_coder=dict(type="TBLRBBoxCoder", normalizer=1/8)),
+)
+label_assignment = dict(neg_threshold=0.2, positive_num=6, balance_sample=True, max_gt=8)
+input_size = (128, 160)
+data = dict(
+    train=dict(
+        ann_file=r"{root}/detector_annotations/train_pbr.json",
+        img_prefix=r"{root}/train_pbr/",
+        pipeline=train_pipeline,
+        min_visib_frac=0.0,
+    ),
+)
+"""
+    )
+    out_dir = tmp_path / "browse"
+    out = _run(
+        [
+            "tools/browse_dataset.py", str(cfg_path),
+            "--output-dir", str(out_dir), "--num", "1",
+            "--show-dist", "--show-assignment",
+        ]
+    )
+    import glob
+
+    rendered = glob.glob(str(out_dir / "*.jpg"))
+    assert len(rendered) == 1, out

@@ -257,6 +257,41 @@ def test_cutout_requires_exactly_one_spec():
         CutOut(n_holes=1, cutout_shape=(2, 2), cutout_ratio=(0.1, 0.1))
 
 
+def test_albu_and_corrupt_gated():
+    """Optional-library bridges fail loudly at construction when the library
+    is absent, and work when present."""
+    from radet_tpu.data.pipeline import Albu, Corrupt
+
+    try:
+        import albumentations  # noqa: F401
+
+        has_albu = True
+    except ImportError:
+        has_albu = False
+    if has_albu:
+        random.seed(0)
+        t = Albu(
+            [dict(type="HorizontalFlip", p=1.0)],
+            bbox_params=dict(type="BboxParams"),
+        )
+        out = t(_results())
+        assert out["img"].shape == (60, 80, 3)
+        assert len(out["gt_bboxes"]) == 2
+    else:
+        with pytest.raises(ImportError, match="albumentations"):
+            Albu([dict(type="HorizontalFlip", p=1.0)])
+
+    try:
+        import imagecorruptions  # noqa: F401
+
+        has_ic = True
+    except ImportError:
+        has_ic = False
+    if not has_ic:
+        with pytest.raises(ImportError, match="imagecorruptions"):
+            Corrupt("gaussian_noise")
+
+
 # ---------------------------------------------------------------------------
 # config-driven construction
 # ---------------------------------------------------------------------------
