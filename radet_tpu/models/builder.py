@@ -27,12 +27,19 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         dtype = _DTYPES.get(cfg.get("dtype", "float32"), jnp.float32)
     elif isinstance(dtype, str):
         dtype = _DTYPES[dtype]
+    btype = backbone.get("type", "ResNet")
+    assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), f"unknown backbone type {btype}"
+    v1d = btype == "ResNetV1d"
     return RADet(
         num_classes=head["num_classes"],
         depth=backbone.get("depth", 50),
         out_indices=tuple(backbone.get("out_indices", (0, 1, 2, 3))),
         frozen_stages=backbone.get("frozen_stages", 1),
         norm_eval=backbone.get("norm_eval", True),
+        groups=backbone.get("groups", 1) if btype == "ResNeXt" else 1,
+        base_width=backbone.get("base_width", 4),
+        deep_stem=backbone.get("deep_stem", v1d),
+        avg_down=backbone.get("avg_down", v1d),
         fpn_out_channels=neck.get("out_channels", 256),
         fpn_num_outs=neck.get("num_outs", 5),
         fpn_start_level=neck.get("start_level", 1),

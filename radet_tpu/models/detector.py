@@ -37,6 +37,10 @@ class RADet(nn.Module):
     out_indices: Tuple[int, ...] = (0, 1, 2, 3)
     frozen_stages: int = 1
     norm_eval: bool = True
+    groups: int = 1  # ResNeXt cardinality
+    base_width: int = 4
+    deep_stem: bool = False  # ResNetV1d
+    avg_down: bool = False
     fpn_out_channels: int = 256
     fpn_num_outs: int = 5
     fpn_start_level: int = 1
@@ -50,6 +54,10 @@ class RADet(nn.Module):
             out_indices=self.out_indices,
             frozen_stages=self.frozen_stages,
             norm_eval=self.norm_eval,
+            groups=self.groups,
+            base_width=self.base_width,
+            deep_stem=self.deep_stem,
+            avg_down=self.avg_down,
             dtype=self.dtype,
             name="backbone",
         )

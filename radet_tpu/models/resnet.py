@@ -11,6 +11,11 @@ statistics — the reference never updates BN during detector training),
 
 Padding is explicit-numeric (not SAME) so activations match torch's
 convolution arithmetic exactly — required for imported-checkpoint parity.
+
+Variants (same reference file registers ResNetV1d; resnext.py registers
+ResNeXt): ``deep_stem``/``avg_down`` give ResNetV1d, ``groups``/``base_width``
+give ResNeXt (grouped 3x3 via ``feature_group_count`` — XLA lowers grouped
+convs onto the MXU directly, no channel-split loop needed).
 """
 
 from __future__ import annotations
@@ -56,7 +61,7 @@ class FrozenAwareBN(nn.Module):
         )(x)
 
 
-def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
+def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32, groups=1):
     pad = (kernel - 1) // 2
     return nn.Conv(
         features,
@@ -64,11 +69,34 @@ def _conv(features, kernel, stride=1, name=None, dtype=jnp.float32):
         strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         use_bias=False,
+        feature_group_count=groups,
         dtype=dtype,
         param_dtype=jnp.float32,
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
         name=name,
     )
+
+
+def _avg_down(x, stride):
+    """torch ``AvgPool2d(stride, stride, ceil_mode=True, count_include_pad=False)``.
+
+    Used by the V1d/avg_down downsample path
+    (/root/reference/radet/models/backbones/resnet.py ``avg_down=True``):
+    ceil-mode pooling pads bottom/right, and padded cells are excluded from
+    the mean (count_include_pad=False) — realized by summing zero-padded
+    values and dividing by the per-window count of real cells.
+    """
+    if stride == 1:
+        return x
+    _, h, w, _ = x.shape
+    ph, pw = (-h) % stride, (-w) % stride
+    xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    summed = nn.avg_pool(xp, (stride, stride), strides=(stride, stride), padding="VALID")
+    if ph == 0 and pw == 0:
+        return summed
+    ones = jnp.pad(jnp.ones((1, h, w, 1), x.dtype), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    frac = nn.avg_pool(ones, (stride, stride), strides=(stride, stride), padding="VALID")
+    return summed / frac
 
 
 class Bottleneck(nn.Module):
@@ -77,21 +105,28 @@ class Bottleneck(nn.Module):
     has_downsample: bool = False
     dtype: Dtype = jnp.float32
     norm_eval: bool = True
+    groups: int = 1  # ResNeXt cardinality (grouped 3x3 conv)
+    width: int = 0  # mid channels; 0 -> planes (plain ResNet)
+    avg_down: bool = False  # V1d: AvgPool + stride-1 1x1 downsample
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
-        out = _conv(self.planes, 1, 1, name="conv1", dtype=self.dtype)(x)
+        width = self.width or self.planes
+        out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
         out = nn.relu(out)
         # 'pytorch' style: stride lives on the 3x3 conv
-        out = _conv(self.planes, 3, self.stride, name="conv2", dtype=self.dtype)(out)
+        out = _conv(width, 3, self.stride, name="conv2", dtype=self.dtype,
+                    groups=self.groups)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
         out = nn.relu(out)
         out = _conv(self.planes * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
         if self.has_downsample:
-            identity = _conv(self.planes * 4, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            ds_in = _avg_down(x, self.stride) if self.avg_down else x
+            identity = _conv(self.planes * 4, 1, 1 if self.avg_down else self.stride,
+                             name="downsample_conv", dtype=self.dtype)(ds_in)
             identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
@@ -102,6 +137,9 @@ class BasicBlock(nn.Module):
     has_downsample: bool = False
     dtype: Dtype = jnp.float32
     norm_eval: bool = True
+    groups: int = 1  # unused (parity with Bottleneck signature)
+    width: int = 0
+    avg_down: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -112,7 +150,9 @@ class BasicBlock(nn.Module):
         out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
         if self.has_downsample:
-            identity = _conv(self.planes, 1, self.stride, name="downsample_conv", dtype=self.dtype)(x)
+            ds_in = _avg_down(x, self.stride) if self.avg_down else x
+            identity = _conv(self.planes, 1, 1 if self.avg_down else self.stride,
+                             name="downsample_conv", dtype=self.dtype)(ds_in)
             identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
 
@@ -128,6 +168,10 @@ class ResNet(nn.Module):
     frozen_stages: int = 1
     norm_eval: bool = True
     dtype: Dtype = jnp.float32
+    groups: int = 1  # ResNeXt cardinality (e.g. 32 for x50_32x4d)
+    base_width: int = 4  # ResNeXt width per group
+    deep_stem: bool = False  # V1d: three 3x3 convs replace the 7x7 stem
+    avg_down: bool = False  # V1d: AvgPool-based residual downsampling
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -136,19 +180,26 @@ class ResNet(nn.Module):
         expansion = 4 if block_kind == "bottleneck" else 1
 
         x = x.astype(self.dtype)
-        x = nn.Conv(
-            64,
-            (7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
-            name="conv1",
-        )(x)
-        x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
-        x = nn.relu(x)
+        if self.deep_stem:
+            # mmcv ResNetV1d stem: 3x3/2 (32) -> 3x3 (32) -> 3x3 (64), each BN+ReLU
+            for i, (feats, stride) in enumerate(((32, 2), (32, 1), (64, 1)), start=1):
+                x = _conv(feats, 3, stride, name=f"stem_conv{i}", dtype=self.dtype)(x)
+                x = FrozenAwareBN(self.dtype, self.norm_eval, name=f"stem_bn{i}")(x, train)
+                x = nn.relu(x)
+        else:
+            x = nn.Conv(
+                64,
+                (7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+                name="conv1",
+            )(x)
+            x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
+            x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1): pad with -inf so the pad
         # never wins the max.
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
@@ -161,6 +212,9 @@ class ResNet(nn.Module):
         for stage_idx, num_blocks in enumerate(stage_blocks):
             planes = 64 * (2 ** stage_idx)
             stride = 1 if stage_idx == 0 else 2
+            # mmcv ResNeXt mid width: floor(planes * base_width/64) * groups
+            width = ((planes * self.base_width // 64) * self.groups
+                     if self.groups > 1 else 0)
             for b in range(num_blocks):
                 x = block_cls(
                     planes=planes,
@@ -168,6 +222,9 @@ class ResNet(nn.Module):
                     has_downsample=(b == 0 and (stride != 1 or channels != planes * expansion)),
                     dtype=self.dtype,
                     norm_eval=self.norm_eval,
+                    groups=self.groups,
+                    width=width,
+                    avg_down=self.avg_down,
                     name=f"layer{stage_idx + 1}_{b}",
                 )(x, train)
                 channels = planes * expansion

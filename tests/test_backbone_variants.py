@@ -1,0 +1,221 @@
+"""Backbone-variant parity: ResNetV1d (deep stem + avg_down) and ResNeXt
+(grouped bottleneck) against torch transcriptions of the mmcv layouts
+(/root/reference/radet/models/backbones/resnet.py ResNetV1d, resnext.py
+ResNeXt), converted through tools/convert_torch_weights.
+
+Odd spatial sizes are used so the ceil-mode / count_include_pad=False
+semantics of the avg_down pool are exercised, not just the even fast path.
+"""
+
+import sys
+import os.path as osp
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as tnn  # noqa: E402
+
+sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "tools"))
+from convert_torch_weights import convert_resnet  # noqa: E402
+
+
+def _randomize_bn(model, rng):
+    for m in model.modules():
+        if isinstance(m, tnn.BatchNorm2d):
+            m.running_mean.copy_(torch.tensor(rng.randn(m.num_features) * 0.5, dtype=torch.float32))
+            m.running_var.copy_(torch.tensor(rng.rand(m.num_features) + 0.5, dtype=torch.float32))
+            m.weight.data.copy_(torch.tensor(rng.randn(m.num_features) * 0.2 + 1, dtype=torch.float32))
+            m.bias.data.copy_(torch.tensor(rng.randn(m.num_features) * 0.1, dtype=torch.float32))
+
+
+class TorchBasicBlock(tnn.Module):
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(inplanes, planes, 3, stride=stride, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(planes)
+        self.conv2 = tnn.Conv2d(planes, planes, 3, padding=1, bias=False)
+        self.bn2 = tnn.BatchNorm2d(planes)
+        self.relu = tnn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            idn = self.downsample(x)
+        return self.relu(out + idn)
+
+
+class TorchBottleneckX(tnn.Module):
+    """Bottleneck with optional ResNeXt grouping (mmcv resnext.py width rule)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None, groups=1, base_width=4):
+        super().__init__()
+        width = (planes * base_width // 64) * groups if groups > 1 else planes
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride=stride, padding=1, groups=groups, bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idn = self.downsample(x)
+        return self.relu(out + idn)
+
+
+class TorchVariantResNet(tnn.Module):
+    """mmcv-layout ResNet with deep_stem / avg_down / groups options."""
+
+    def __init__(self, depth, deep_stem=False, avg_down=False, groups=1, base_width=4):
+        super().__init__()
+        arch = {18: ("basic", (2, 2, 2, 2)), 50: ("bottleneck", (3, 4, 6, 3))}[depth]
+        self.block_kind, stage_blocks = arch
+        self.deep_stem = deep_stem
+        self.avg_down = avg_down
+        self.groups = groups
+        self.base_width = base_width
+        if deep_stem:
+            self.stem = tnn.Sequential(
+                tnn.Conv2d(3, 32, 3, stride=2, padding=1, bias=False),
+                tnn.BatchNorm2d(32), tnn.ReLU(),
+                tnn.Conv2d(32, 32, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(32), tnn.ReLU(),
+                tnn.Conv2d(32, 64, 3, padding=1, bias=False),
+                tnn.BatchNorm2d(64), tnn.ReLU(),
+            )
+        else:
+            self.conv1 = tnn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+            self.bn1 = tnn.BatchNorm2d(64)
+            self.relu = tnn.ReLU()
+        self.maxpool = tnn.MaxPool2d(3, stride=2, padding=1)
+        self.inplanes = 64
+        for s, blocks in enumerate(stage_blocks):
+            setattr(self, f"layer{s + 1}", self._make_layer(64 * 2 ** s, blocks, 1 if s == 0 else 2))
+
+    def _make_layer(self, planes, blocks, stride):
+        expansion = 4 if self.block_kind == "bottleneck" else 1
+        downsample = None
+        if stride != 1 or self.inplanes != planes * expansion:
+            conv_stride = 1 if self.avg_down else stride
+            mods = [
+                tnn.Conv2d(self.inplanes, planes * expansion, 1, stride=conv_stride, bias=False),
+                tnn.BatchNorm2d(planes * expansion),
+            ]
+            if self.avg_down:
+                mods.insert(0, tnn.AvgPool2d(stride, stride, ceil_mode=True, count_include_pad=False))
+            downsample = tnn.Sequential(*mods)
+        mk = (
+            (lambda inp, pl, st, ds: TorchBottleneckX(inp, pl, st, ds, self.groups, self.base_width))
+            if self.block_kind == "bottleneck"
+            else TorchBasicBlock
+        )
+        expansion_planes = planes * expansion
+        layers = [mk(self.inplanes, planes, stride, downsample)]
+        self.inplanes = expansion_planes
+        layers += [mk(self.inplanes, planes, 1, None) for _ in range(blocks - 1)]
+        return tnn.Sequential(*layers)
+
+    def forward(self, x):
+        if self.deep_stem:
+            x = self.stem(x)
+        else:
+            x = self.relu(self.bn1(self.conv1(x)))
+        x = self.maxpool(x)
+        outs = []
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+            outs.append(x)
+        return outs
+
+
+def _convert_to_flax_vars(tmodel, fmodel, x_shape):
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    flat = {}
+    convert_resnet(sd, flat)
+    flat = {(k[0],) + k[2:]: v for k, v in flat.items()}
+    converted = flax.traverse_util.unflatten_dict(flat)
+    variables = fmodel.init(jax.random.PRNGKey(0), jnp.zeros(x_shape, jnp.float32), train=False)
+    flat_v = flax.traverse_util.flatten_dict(variables)
+    flat_c = flax.traverse_util.flatten_dict(converted)
+    assert set(flat_v) == set(flat_c), (
+        f"missing={sorted(set(flat_v) - set(flat_c))[:5]} extra={sorted(set(flat_c) - set(flat_v))[:5]}"
+    )
+    for k in flat_v:
+        assert flat_v[k].shape == np.asarray(flat_c[k]).shape, k
+    return flax.traverse_util.unflatten_dict(flat_c)
+
+
+@pytest.mark.parametrize(
+    "depth,kwargs",
+    [
+        (18, dict(deep_stem=True, avg_down=True)),  # ResNetV1d-18
+        (50, dict(groups=32, base_width=4)),  # ResNeXt-50 32x4d
+        (50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4)),  # ResNeSt-style combo
+    ],
+)
+def test_variant_forward_parity(depth, kwargs, rng):
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import ResNet
+
+    tmodel = TorchVariantResNet(depth, **kwargs)
+    with torch.no_grad():
+        _randomize_bn(tmodel, np.random.RandomState(1))
+    tmodel.eval()
+
+    fmodel = ResNet(depth=depth, out_indices=(0, 1, 2, 3), norm_eval=True, **kwargs)
+    # odd 68x84 input -> odd 17x21 maps force the ceil-mode avg_down path
+    x = rng.rand(2, 68, 84, 3).astype(np.float32) * 4 - 2
+    variables = _convert_to_flax_vars(tmodel, fmodel, (1,) + x.shape[1:])
+
+    with torch.no_grad():
+        t_outs = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+    f_outs = fmodel.apply(variables, jnp.asarray(x), train=False)
+    assert len(t_outs) == len(f_outs) == 4
+    for i, (t, f) in enumerate(zip(t_outs, f_outs)):
+        t = t.numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f)
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(f, t, rtol=1e-4, atol=1e-4)
+
+
+def test_builder_backbone_types():
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.models import build_detector
+
+    for backbone in (
+        dict(type="ResNetV1d", depth=18),
+        dict(type="ResNeXt", depth=50, groups=32, base_width=4),
+    ):
+        model = build_detector(
+            dict(
+                type="RADet",
+                backbone=backbone,
+                neck=dict(out_channels=64, start_level=1, num_outs=5),
+                bbox_head=dict(num_classes=3, stacked_convs=1, feat_channels=64),
+            )
+        )
+        outs = model.init_with_output(
+            jax.random.PRNGKey(0), jnp.zeros((1, 64, 80, 3)), train=False
+        )[0]
+        assert len(outs[0]) == 5  # cls levels
+
+    with pytest.raises(AssertionError):
+        build_detector(dict(type="RADet", backbone=dict(type="HRNet"),
+                            neck=dict(), bbox_head=dict(num_classes=3)))

@@ -47,10 +47,18 @@ def _bn(dst, prefix_parts, sd, torch_prefix):
 
 
 def convert_resnet(sd, out, torch_prefix=""):
-    """torchvision/mmcv ResNet -> backbone subtree entries."""
+    """torchvision/mmcv ResNet (incl. V1d deep stem / ResNeXt) -> backbone entries."""
     p = torch_prefix
-    out[("params", "backbone", "conv1", "kernel")] = t2f_conv(sd[p + "conv1.weight"])
-    _bn(out, ("backbone", "bn1"), sd, p + "bn1")
+    if p + "stem.0.weight" in sd:
+        # mmcv ResNetV1d deep stem: Sequential(conv,bn,relu x3) -> stem.{0,1,3,4,6,7}
+        for i, idx in enumerate((0, 3, 6), start=1):
+            out[("params", "backbone", f"stem_conv{i}", "kernel")] = t2f_conv(
+                sd[p + f"stem.{idx}.weight"]
+            )
+            _bn(out, ("backbone", f"stem_bn{i}"), sd, p + f"stem.{idx + 1}")
+    else:
+        out[("params", "backbone", "conv1", "kernel")] = t2f_conv(sd[p + "conv1.weight"])
+        _bn(out, ("backbone", "bn1"), sd, p + "bn1")
     layer_re = re.compile(r"^layer(\d+)\.(\d+)\.(.*)$")
     seen = set()
     for k in sd:
@@ -74,6 +82,12 @@ def convert_resnet(sd, out, torch_prefix=""):
                 sd[tp + "downsample.0.weight"]
             )
             _bn(out, fp + ("downsample_bn",), sd, tp + "downsample.1")
+        elif tp + "downsample.1.weight" in sd:
+            # avg_down layout: Sequential(AvgPool2d, Conv2d, BN)
+            out[("params",) + fp + ("downsample_conv", "kernel")] = t2f_conv(
+                sd[tp + "downsample.1.weight"]
+            )
+            _bn(out, fp + ("downsample_bn",), sd, tp + "downsample.2")
 
 
 def convert_mmdet_detector(sd, out):
