@@ -55,9 +55,23 @@ def radet_loss(
     pos = gt_idx >= 0  # (B, N)
     ignore = gt_idx == -2
     safe_idx = jnp.clip(gt_idx, 0)
+    # Gathering per-cell GT attributes via take_along_axis lowers to a
+    # VMEM-read-bound gather fusion that dominates the whole train step on
+    # TPU (measured 5.9 ms of a 53 ms step at B=16, N=6400).  G is tiny, so
+    # select the rows with a one-hot matmul instead — an MXU-friendly
+    # (B,N,G)x(B,G,k) batched contraction costing ~nothing.
+    g = gt_boxes.shape[1]
+    onehot = (safe_idx[..., None] == jnp.arange(g)[None, None, :]).astype(
+        jnp.float32
+    )  # (B, N, G)
     # positives (and ignores, harmlessly) get their GT's class; negatives get
-    # the background index `num_classes`
-    assigned_labels = jnp.take_along_axis(gt_labels, safe_idx, axis=1)
+    # the background index `num_classes`.  Labels are small ints — exact in f32.
+    assigned_labels = jnp.einsum(
+        "bng,bg->bn",
+        onehot,
+        gt_labels.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,  # MXU default rounds to bf16
+    ).astype(gt_labels.dtype)
     labels = jnp.where(pos | ignore, assigned_labels, num_classes)
     cls_weight = jnp.where(ignore, 0.0, weight)
 
@@ -75,8 +89,8 @@ def radet_loss(
         loss_weight=cls_loss_weight,
     )
 
-    target_boxes = jnp.take_along_axis(
-        gt_boxes, safe_idx[..., None].repeat(4, -1), axis=1
+    target_boxes = jnp.einsum(
+        "bng,bgk->bnk", onehot, gt_boxes, precision=jax.lax.Precision.HIGHEST
     )  # (B, N, 4)
     decoded = tblr_decode(anchors[None], reg_flat, normalizer=normalizer)
     iou_target = jax.lax.stop_gradient(bbox_iou_aligned(decoded, target_boxes))
