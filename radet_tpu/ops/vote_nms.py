@@ -225,7 +225,9 @@ def vote_nms_device(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_threshold", "max_out", "iou_enable", "sigma", "global_mode"),
+    static_argnames=(
+        "iou_threshold", "max_out", "iou_enable", "sigma", "global_mode", "presorted"
+    ),
 )
 def vote_nms_device_fast(
     boxes,
@@ -239,19 +241,26 @@ def vote_nms_device_fast(
     iou_enable: bool = False,
     sigma: float = 0.025,
     global_mode: bool = False,
+    presorted: bool = False,
 ):
     """Exact vote-NMS via the parallel-greedy fixed point. Same contract as
     :func:`vote_nms_device`; O(K^2) memory — pre-reduce candidates with a
-    global top-k (see postprocess.get_bboxes nms_topk)."""
+    global top-k (see postprocess.get_bboxes nms_topk).
+
+    ``presorted=True`` asserts the caller already ordered candidates by
+    cluster score descending with invalid entries last (what the
+    postprocess nms_topk reduction emits) — the internal argsort and its
+    five latency-bound per-row gathers are skipped."""
     k = boxes.shape[0]
     labels = labels.astype(jnp.int32)
-    neg = jnp.where(valid, cluster_scores, NEG_INF)
-    order = jnp.argsort(-neg)  # descending score, invalid last
-    boxes = boxes[order]
-    cluster_scores = cluster_scores[order]
-    vote_scores = vote_scores[order]
-    labels = labels[order]
-    valid = valid[order]
+    if not presorted:
+        neg = jnp.where(valid, cluster_scores, NEG_INF)
+        order = jnp.argsort(-neg)  # descending score, invalid last
+        boxes = boxes[order]
+        cluster_scores = cluster_scores[order]
+        vote_scores = vote_scores[order]
+        labels = labels[order]
+        valid = valid[order]
 
     # pairwise IoU
     lt = jnp.maximum(boxes[:, None, :2], boxes[None, :, :2])

@@ -178,3 +178,27 @@ def test_single_box():
     np.testing.assert_allclose(np.asarray(db)[0], boxes[0], atol=1e-4)
     assert int(np.asarray(dl)[0]) == 2
     np.testing.assert_allclose(float(np.asarray(dsc)[0]), 0.9, rtol=1e-6)
+
+
+@pytest.mark.parametrize("global_mode", [False, True])
+def test_fast_presorted_equivalence(rng, global_mode):
+    """presorted=True on score-sorted input (invalid last) == presorted=False.
+
+    This is the contract the postprocess nms_topk reduction provides
+    (models/postprocess.py: top_k by cluster score, invalid at NEG_INF)."""
+    boxes, cluster, vote, labels = _random_dets(rng, n=64)
+    valid = rng.rand(len(boxes)) > 0.2
+    masked = np.where(valid, cluster, -1e30)
+    order = np.argsort(-masked, kind="stable")
+    args_sorted = (
+        jnp.asarray(boxes[order]),
+        jnp.asarray(cluster[order]),
+        jnp.asarray(vote[order]),
+        jnp.asarray(labels[order]),
+        jnp.asarray(valid[order]),
+    )
+    kw = dict(iou_threshold=0.5, max_out=40, global_mode=global_mode)
+    ref = vote_nms_device_fast(*args_sorted, presorted=False, **kw)
+    fast = vote_nms_device_fast(*args_sorted, presorted=True, **kw)
+    for r, f in zip(ref, fast):
+        np.testing.assert_array_equal(np.asarray(r), np.asarray(f))
