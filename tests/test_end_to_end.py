@@ -14,7 +14,10 @@ from fixtures import make_synthetic_bop
 TINY_INPUT = (128, 160)
 
 
-def _write_tiny_cfg(tmp_path, bop_root, max_iters=3):
+DEFAULT_BACKBONE = 'dict(depth=18, out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True)'
+
+
+def _write_tiny_cfg(tmp_path, bop_root, max_iters=3, backbone=DEFAULT_BACKBONE):
     cfg_path = tmp_path / "tiny_cfg.py"
     cfg_path.write_text(
         f"""
@@ -35,7 +38,7 @@ test_pipeline = [
 ]
 model = dict(
     type="RADet",
-    backbone=dict(depth=18, out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True),
+    backbone={backbone},
     neck=dict(out_channels=32, start_level=1, num_outs=5),
     bbox_head=dict(
         num_classes=3,
@@ -173,3 +176,32 @@ def test_multi_device_data_parallel(tmp_path, bop_root):
     cfg.data["samples_per_gpu"] = 8  # one image per device
     state = train_detector(cfg, work_dir=str(tmp_path / "w3"), eval_during_train=False)
     assert int(state.step) == 2
+
+
+@pytest.mark.parametrize(
+    "backbone",
+    [
+        'dict(type="ResNetV1d", depth=18, frozen_stages=1, norm_eval=True)',
+        'dict(type="ResNeXt", depth=50, groups=8, base_width=4, frozen_stages=1, norm_eval=True)',
+    ],
+    ids=["v1d18", "x50_8x4d"],
+)
+def test_variant_backbone_end_to_end(tmp_path, bop_root, backbone):
+    """Config-driven train + inference-eval with the backbone variants
+    (ResNetV1d deep stem / avg_down; ResNeXt grouped bottleneck)."""
+    from radet_tpu.apis.test import test_from_config
+    from radet_tpu.apis.train import train_detector
+    from radet_tpu.utils import Config
+
+    cfg = Config.fromfile(_write_tiny_cfg(tmp_path, bop_root, backbone=backbone))
+    state = train_detector(
+        cfg, work_dir=str(tmp_path / "work"), eval_during_train=False
+    )
+    assert int(state.step) == 3
+    variables = {"params": jax.device_get(state.params)}
+    if state.batch_stats:
+        variables["batch_stats"] = jax.device_get(state.batch_stats)
+    dataset, results, metrics = test_from_config(
+        cfg, variables, split="test", batch_size=2
+    )
+    assert len(results) == len(dataset)
