@@ -219,3 +219,24 @@ def test_builder_backbone_types():
     with pytest.raises(AssertionError):
         build_detector(dict(type="RADet", backbone=dict(type="HRNet"),
                             neck=dict(), bbox_head=dict(num_classes=3)))
+
+
+def test_stem_s2d_matches_plain_conv(rng):
+    """Space-to-depth stem == plain 7x7/2 conv (same param), incl. the
+    odd-size fallback path."""
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import StemConvS2D
+
+    mod = StemConvS2D(8)
+    for h, w in ((32, 40), (33, 41)):
+        x = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
+        variables = mod.init(jax.random.PRNGKey(0), x)
+        y = mod.apply(variables, x)
+        ref = jax.lax.conv_general_dilated(
+            x, variables["params"]["kernel"], (2, 2), ((3, 3), (3, 3)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        assert y.shape == ref.shape, (h, w)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref), rtol=1e-5, atol=1e-5)
