@@ -8,6 +8,7 @@ from .losses import (
 )
 from .vote_nms import (
     batched_nms_device,
+    fast_nms_device,
     vote_nms_device,
     vote_nms_device_fast,
     vote_nms_numpy,
@@ -24,4 +25,5 @@ __all__ = [
     "vote_nms_device_fast",
     "vote_nms_numpy",
     "batched_nms_device",
+    "fast_nms_device",
 ]

@@ -364,3 +364,59 @@ def batched_nms_device(boxes, scores, labels, valid, *, iou_threshold: float = 0
 
     _, (ob, ol, osc, ov) = jax.lax.scan(step, suppressed0, None, length=max_out)
     return ob, ol, osc, ov
+
+
+@functools.partial(
+    jax.jit, static_argnames=("score_thr", "iou_threshold", "top_k", "max_out")
+)
+def fast_nms_device(
+    boxes,
+    scores,
+    *,
+    score_thr: float = 0.05,
+    iou_threshold: float = 0.5,
+    top_k: int = 200,
+    max_out: int = 100,
+):
+    """YOLACT Fast NMS (reference ``core/post_processing/bbox_nms.py:82-150``)
+    as one batched matrix program — the one reference NMS that is *already*
+    shaped for an accelerator (per-class upper-triangular IoU max), so the
+    TPU form is a direct dense formulation with static shapes.
+
+    Args:
+        boxes: (N, 4) xyxy (class-agnostic, the RADet/YOLACT box layout).
+        scores: (N, C) per-class scores (no background column).
+    Returns (boxes (M, 4), labels (M,), scores (M,), valid (M,)) with
+    ``M = max_out``, ranked by score — same relaxed-suppression semantics
+    (already-suppressed detections still suppress others).
+    """
+    n, c = scores.shape
+    k = min(top_k, n)
+    # per-class top-k by score (reference sort+slice, :116-120)
+    cls_scores, idx = jax.lax.top_k(scores.T, k)  # (C, k)
+    cls_boxes = boxes[idx.reshape(-1)].reshape(c, k, 4)
+    # upper-triangular pairwise IoU, columnwise max over earlier dets (:124-127)
+    lt = jnp.maximum(cls_boxes[:, :, None, :2], cls_boxes[:, None, :, :2])
+    rb = jnp.minimum(cls_boxes[:, :, None, 2:], cls_boxes[:, None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = jnp.clip(cls_boxes[..., 2] - cls_boxes[..., 0], 0) * jnp.clip(
+        cls_boxes[..., 3] - cls_boxes[..., 1], 0
+    )
+    iou = inter / jnp.maximum(area[:, :, None] + area[:, None, :] - inter, 1e-12)
+    triu = jnp.triu(jnp.ones((k, k), bool), 1)
+    iou_max = jnp.where(triu[None], iou, 0.0).max(axis=1)  # (C, k)
+    keep = (iou_max <= iou_threshold) & (cls_scores > score_thr)  # (:129-133)
+    # flatten classes, rank by score, emit max_out fixed slots (:137-146)
+    flat_scores = jnp.where(keep, cls_scores, NEG_INF).reshape(-1)
+    flat_labels = jnp.broadcast_to(jnp.arange(c)[:, None], (c, k)).reshape(-1)
+    out_scores, order = jax.lax.top_k(flat_scores, max_out)
+    out_valid = out_scores > NEG_INF
+    out_boxes = cls_boxes.reshape(-1, 4)[order]
+    out_labels = flat_labels[order].astype(jnp.int32)
+    return (
+        jnp.where(out_valid[:, None], out_boxes, 0.0),
+        jnp.where(out_valid, out_labels, -1),
+        jnp.where(out_valid, out_scores, 0.0),
+        out_valid,
+    )

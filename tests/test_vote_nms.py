@@ -202,3 +202,50 @@ def test_fast_presorted_equivalence(rng, global_mode):
     fast = vote_nms_device_fast(*args_sorted, presorted=True, **kw)
     for r, f in zip(ref, fast):
         np.testing.assert_array_equal(np.asarray(r), np.asarray(f))
+
+
+def _fast_nms_oracle(boxes, scores, score_thr, iou_thr, top_k):
+    """Sequential transcription of YOLACT fast NMS semantics
+    (reference core/post_processing/bbox_nms.py:82-150)."""
+    kept = []
+    c = scores.shape[1]
+    for cls in range(c):
+        order = np.argsort(-scores[:, cls], kind="stable")[:top_k]
+        cls_boxes = boxes[order]
+        cls_scores = scores[order, cls]
+        k = len(order)
+        for m in range(k):
+            iou_max = 0.0
+            for j in range(m):  # relaxed: earlier dets suppress regardless of own fate
+                xl = max(cls_boxes[m, 0], cls_boxes[j, 0]); yt = max(cls_boxes[m, 1], cls_boxes[j, 1])
+                xr = min(cls_boxes[m, 2], cls_boxes[j, 2]); yb = min(cls_boxes[m, 3], cls_boxes[j, 3])
+                inter = max(0, xr - xl) * max(0, yb - yt)
+                a_m = (cls_boxes[m, 2] - cls_boxes[m, 0]) * (cls_boxes[m, 3] - cls_boxes[m, 1])
+                a_j = (cls_boxes[j, 2] - cls_boxes[j, 0]) * (cls_boxes[j, 3] - cls_boxes[j, 1])
+                iou_max = max(iou_max, inter / max(a_m + a_j - inter, 1e-12))
+            if iou_max <= iou_thr and cls_scores[m] > score_thr:
+                kept.append((cls_scores[m], cls, tuple(cls_boxes[m])))
+    kept.sort(key=lambda t: -t[0])
+    return kept
+
+
+def test_fast_nms_matches_oracle(rng):
+    from radet_tpu.ops import fast_nms_device
+
+    n, c = 60, 4
+    boxes, _, _, _ = _random_dets(rng, n=n)
+    scores = rng.rand(n, c).astype(np.float32)
+    ob, ol, osc, ov = map(
+        np.asarray,
+        fast_nms_device(
+            jnp.asarray(boxes), jnp.asarray(scores),
+            score_thr=0.3, iou_threshold=0.5, top_k=40, max_out=30,
+        ),
+    )
+    oracle = _fast_nms_oracle(boxes, scores, 0.3, 0.5, 40)[:30]
+    nk = int(ov.sum())
+    assert nk == len(oracle)
+    for m in range(nk):
+        np.testing.assert_allclose(osc[m], oracle[m][0], rtol=1e-6)
+        assert ol[m] == oracle[m][1]
+        np.testing.assert_allclose(ob[m], oracle[m][2], rtol=1e-5)
