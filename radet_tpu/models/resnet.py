@@ -113,10 +113,17 @@ class StemConvS2D(nn.Module):
     import/export is unaffected.  Requires even H and W (guaranteed by the
     even input sizes every config uses; ResNet falls back to the plain conv
     otherwise).
+
+    Measured on v5e and left OFF by default (``use_s2d``): at the production
+    shapes the stem is HBM-bound, not MXU-bound — batch-128 inference is
+    time-neutral (2.69 ms either way) and the batch-16 train step is 0.6 ms
+    *slower* with the extra space-to-depth transpose.  The flag exists for
+    shapes/chips where the stem is compute-bound (the classic MLPerf regime).
     """
 
     features: int = 64
     dtype: Dtype = jnp.float32
+    use_s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -127,7 +134,7 @@ class StemConvS2D(nn.Module):
             (7, 7, c, self.features),
             jnp.float32,
         )
-        if h % 2 or w % 2:
+        if not self.use_s2d or h % 2 or w % 2:
             return jax.lax.conv_general_dilated(
                 x.astype(self.dtype),
                 kernel.astype(self.dtype),
@@ -231,6 +238,7 @@ class ResNet(nn.Module):
     base_width: int = 4  # ResNeXt width per group
     deep_stem: bool = False  # V1d: three 3x3 convs replace the 7x7 stem
     avg_down: bool = False  # V1d: AvgPool-based residual downsampling
+    stem_s2d: bool = False  # space-to-depth stem (see StemConvS2D)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -246,7 +254,7 @@ class ResNet(nn.Module):
                 x = FrozenAwareBN(self.dtype, self.norm_eval, name=f"stem_bn{i}")(x, train)
                 x = nn.relu(x)
         else:
-            x = StemConvS2D(64, dtype=self.dtype, name="conv1")(x)
+            x = StemConvS2D(64, dtype=self.dtype, use_s2d=self.stem_s2d, name="conv1")(x)
             x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
             x = nn.relu(x)
         # torch MaxPool2d(3, stride=2, padding=1): pad with -inf so the pad

@@ -229,7 +229,7 @@ def test_stem_s2d_matches_plain_conv(rng):
 
     from radet_tpu.models.resnet import StemConvS2D
 
-    mod = StemConvS2D(8)
+    mod = StemConvS2D(8, use_s2d=True)
     for h, w in ((32, 40), (33, 41)):
         x = jnp.asarray(rng.rand(2, h, w, 3).astype(np.float32))
         variables = mod.init(jax.random.PRNGKey(0), x)
