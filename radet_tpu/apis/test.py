@@ -170,7 +170,12 @@ def _host_vote_fuse(boxes, cluster_scores, vote_scores, labels, iou_thr: float):
 
 def tta_padded_size(scale_wh, size_divisor: int = 32):
     """Static padded (h, w) for a keep_ratio resize into ``scale_wh=(w, h)``:
-    the resize fits within the scale box, so ceil(scale / divisor) bounds it."""
+    the resize fits within the scale box, so ceil(scale / divisor) bounds it.
+    The per-scale dataset pads every sample to exactly this static size
+    (build_pipeline upgrades Pad accordingly), so anchors/level counts built
+    from it always match the sample shapes; when the image aspect ratio
+    differs from the scale box the bound is conservative (extra padding,
+    wasted compute, correct results)."""
     w, h = scale_wh
     d = size_divisor
     return ((h + d - 1) // d * d, (w + d - 1) // d * d)
@@ -353,16 +358,7 @@ def _merge_flip_aug(infer, variables, batch, test_cfg,
     Redesigned from the reference's MultiScaleFlipAug + merge_augs
     (core/post_processing/merge_augs.py): run the compiled step on flipped
     images, unflip the detections into original coordinates, then fuse the
-    two fixed-size detection sets with a host vote-NMS (ops/native)."""
-    from ..ops.vote_nms import vote_nms_numpy
-
-    try:
-        from ..ops.native import load as _native_load, vote_nms_native
-
-        native_ok = _native_load() is not None
-    except Exception:
-        native_ok = False
-
+    two fixed-size detection sets with a host vote-NMS (_host_vote_fuse)."""
     images = np.asarray(batch["image"])
     shapes = np.asarray(batch["img_shape"])
     scales = np.asarray(batch["scale_factor"])
@@ -390,10 +386,7 @@ def _merge_flip_aug(infer, variables, batch, test_cfg,
         cb = np.concatenate([boxes[i][valid[i]], ub[fv[i]]], 0)
         cs = np.concatenate([scores[i][valid[i]], fs[i][fv[i]]], 0)
         cl = np.concatenate([labels[i][valid[i]], fl[i][fv[i]]], 0).astype(np.int64)
-        if native_ok:
-            vb, vl, vs = vote_nms_native(cb, cs, cs, cl, iou_thr)
-        else:
-            vb, vl, vs = vote_nms_numpy(cb, cs, cs, cl, iou_thr)
+        vb, vl, vs = _host_vote_fuse(cb, cs, cs, cl, iou_thr)
         vb, vl, vs = vb[:max_out], vl[:max_out], vs[:max_out]
         k = len(vb)
         pb = np.zeros((m, 4), np.float32)
@@ -436,19 +429,15 @@ def test_from_config(
     import jax
 
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
-    dataset = build_dataset(cfg, split)
     batch_size = batch_size or int(cfg.data.get("samples_per_gpu", 8))
-    n_dev = len(jax.devices())
-    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-    mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
-    if mesh is not None:
-        variables = jax.device_put(variables, replicated_sharding(mesh))
     test_cfg = cfg.test_cfg.to_dict()
     if strict:
         test_cfg = strict_eval_overrides(test_cfg)
 
     tta = test_cfg.get("tta")
     if tta and tta.get("scales"):
+        # (the TTA path runs per-scale compiled steps unsharded; the
+        # non-TTA dataset and device mesh are not built here)
         from ..core.anchors import generate_anchors
         from .common import _build_bop, anchor_cfg_from_model
 
@@ -493,6 +482,12 @@ def test_from_config(
             return dataset, results, None
         return dataset, results, evaluate_results(dataset, results)
 
+    dataset = build_dataset(cfg, split)
+    n_dev = len(jax.devices())
+    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+    mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
+    if mesh is not None:
+        variables = jax.device_put(variables, replicated_sharding(mesh))
     results = run_inference(
         model,
         variables,

@@ -514,7 +514,8 @@ class Albu:
                 "in this environment); use the built-in crop/photometric "
                 "transforms instead"
             ) from e
-        self._A = A
+        # deliberately NOT stored on self: module objects don't pickle, and
+        # worker_mode='process' pickles the whole dataset (incl. pipeline)
         self.skip_img_without_anno = skip_img_without_anno
 
         def build(cfg):

@@ -48,7 +48,8 @@ def frozen_param_mask(params: Dict, frozen_stages: int) -> Dict:
 
     frozen_prefixes = []
     if frozen_stages >= 0:
-        frozen_prefixes += ["conv1", "bn1"]
+        # plain stem (conv1/bn1) and the V1d deep stem (stem_conv*/stem_bn*)
+        frozen_prefixes += ["conv1", "bn1", "stem_conv", "stem_bn"]
     for s in range(1, frozen_stages + 1):
         frozen_prefixes.append(f"layer{s}_")
 

@@ -210,6 +210,12 @@ def _nms_kernel_tiled(
             row_g = r * TILE + row_i
             col_g = c * TILE + col_i
             cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            # forced self-membership: a kept box always seeds itself even
+            # when IoU(i, i) fails the threshold (zero-area boxes) —
+            # matches vote_nms_device_fast's cand.at[idx, idx].set(keep)
+            cand = jnp.maximum(
+                cand, (row_g == col_g).astype(jnp.float32) * kr[:, None]
+            )
             cand_seed = jnp.where(cand > 0.5, row_g, k)
             return jnp.minimum(best, jnp.min(cand_seed, axis=0))
 
@@ -235,6 +241,11 @@ def _nms_kernel_tiled(
             iou, ok = _iou_ok(br, lr, vr, bc, lc, vc)
             col_g = c * TILE + col_i
             cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            # forced self-membership (see _seeds): zero-area kept boxes
+            # must vote with their own coordinates, not collapse to (0,)*4
+            cand = jnp.maximum(
+                cand, (row_g == col_g).astype(jnp.float32) * kr[:, None]
+            )
             seed_c = seed_s[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
             member = (row_g == seed_c[None, :]).astype(jnp.float32) * cand
             vs_c = vscore_ref[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]

@@ -107,3 +107,37 @@ def test_pallas_empty_input(rng):
         interpret=True,
     )
     assert int(np.asarray(dv).sum()) == 0
+
+
+def test_pallas_degenerate_box_self_membership(rng):
+    """A kept zero-area box must emit its own coordinates (forced
+    self-membership), not collapse to (0, 0, 0, 0) — parity with
+    vote_nms_device_fast's cand.at[idx, idx].set(keep)."""
+    from radet_tpu.ops.vote_nms import vote_nms_device_fast
+
+    boxes, cluster, vote, labels, valid = _sorted_dets(rng, n_real=20)
+    # make the 4th-highest candidate a zero-area box at the border with a
+    # distinct label so it survives suppression
+    boxes[3] = (77.0, 50.0, 77.0, 120.0)
+    labels[3] = 2
+    labels[: 3] = 0
+    db, dl, dsc, dv = map(
+        np.asarray,
+        vote_nms_pallas(
+            *[jnp.asarray(x)[None] for x in (boxes, cluster, vote, labels, valid)],
+            iou_threshold=0.5, max_out=50, interpret=True,
+        ),
+    )
+    fb, fl, fsc, fv = map(
+        np.asarray,
+        vote_nms_device_fast(
+            *[jnp.asarray(x) for x in (boxes, cluster, vote, labels, valid)],
+            iou_threshold=0.5, max_out=50, presorted=True,
+        ),
+    )
+    np.testing.assert_array_equal(dv[0], fv)
+    kept = fv
+    np.testing.assert_allclose(db[0][kept], fb[kept], rtol=1e-4, atol=1e-3)
+    # the degenerate box's own coords survived
+    emitted = db[0][dv[0]]
+    assert any(np.allclose(e, boxes[3], atol=1e-3) for e in emitted)

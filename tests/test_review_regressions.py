@@ -114,3 +114,31 @@ def test_resume_from_explicit_path(tmp_path):
     src.close()
     assert int(restored.step) == 42
     np.testing.assert_allclose(np.asarray(restored.params["w"]), 5.0)
+
+
+def test_frozen_mask_covers_v1d_deep_stem():
+    """frozen_stages>=0 must freeze the V1d deep stem (stem_conv*/stem_bn*)
+    like the plain conv1/bn1 — otherwise AdamW weight decay erodes the
+    'frozen' pretrained stem even though its gradients are stop_gradient'd."""
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.engine.optim import frozen_param_mask
+    from radet_tpu.models.resnet import ResNet
+
+    model = ResNet(depth=18, deep_stem=True, avg_down=True, frozen_stages=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+    # the mask operates on the detector tree, where the backbone subtree
+    # lives under 'backbone'
+    mask = frozen_param_mask({"backbone": variables["params"]}, frozen_stages=1)
+    flat = {
+        "/".join(str(getattr(p, "key", p)) for p in path): trainable
+        for path, trainable in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    stem_keys = [k for k in flat if "stem_" in k]
+    layer1_keys = [k for k in flat if "layer1_" in k]
+    layer2_keys = [k for k in flat if "layer2_" in k]
+    assert stem_keys and layer1_keys and layer2_keys
+    assert not any(flat[k] for k in stem_keys), "deep stem must be frozen"
+    assert not any(flat[k] for k in layer1_keys), "layer1 must be frozen"
+    assert all(flat[k] for k in layer2_keys), "layer2 must stay trainable"
