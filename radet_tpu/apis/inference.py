@@ -56,6 +56,12 @@ def init_detector(config, checkpoint: Optional[str] = None, cfg_options=None) ->
     variables = init_variables(detector.model, detector.input_size)
     if checkpoint:
         variables = load_weights(checkpoint, template=variables)
+        if not detector.classes:
+            # class names embedded at train time (checkpoint meta.json) —
+            # the reference reads CLASSES from checkpoint meta the same way
+            from ..engine.checkpoint import load_meta
+
+            detector.classes = tuple(load_meta(checkpoint).get("classes", ()))
     detector.variables = variables
     return detector
 

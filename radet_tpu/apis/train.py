@@ -140,6 +140,27 @@ def train_detector(
 
     dataset = build_dataset(cfg, "train", test_mode=False)
     logger.info(f"train dataset: {len(dataset)} images, {len(dataset.CLASSES)} classes")
+    # checkpoint meta: CLASSES + code version, the analogue of the
+    # reference's checkpoint meta embedding (tools/train.py:167-172)
+    if jax.process_index() == 0:
+        import subprocess
+
+        import radet_tpu
+        from ..engine.checkpoint import write_meta
+
+        try:
+            git_hash = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=5,
+                cwd=osp.dirname(osp.dirname(osp.dirname(osp.abspath(__file__)))),
+            ).stdout.strip() or None
+        except Exception:
+            git_hash = None
+        write_meta(
+            ckpt.directory,
+            dict(classes=list(dataset.CLASSES),
+                 radet_tpu_version=radet_tpu.__version__, git_hash=git_hash),
+        )
     loader = DataLoader(
         dataset,
         batch_size=batch_size,

@@ -73,11 +73,39 @@ class CheckpointManager:
         self._mgr.close()
 
 
-def save_weights(path: str, variables: Dict[str, Any]):
-    """Weights-only checkpoint (inference / load_from)."""
+def save_weights(path: str, variables: Dict[str, Any], meta: Dict[str, Any] | None = None):
+    """Weights-only checkpoint (inference / load_from).
+
+    ``meta`` (e.g. CLASSES, code version) is written as ``meta.json`` beside
+    the checkpoint — the analogue of the reference's checkpoint
+    ``meta={mmdet_version+git hash, CLASSES}`` (tools/train.py:167-172)."""
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(osp.abspath(path), variables)
     ckptr.wait_until_finished()
+    if meta:
+        write_meta(path, meta)
+
+
+def write_meta(path: str, meta: Dict[str, Any]):
+    """Write ``meta.json`` into a checkpoint (or manager-root) directory."""
+    import json
+
+    with open(osp.join(osp.abspath(path), "meta.json"), "w") as f:
+        json.dump(meta, f, indent=1, default=str)
+
+
+def load_meta(path: str) -> Dict[str, Any]:
+    """Read checkpoint meta if present — looks in the given directory and,
+    for manager step dirs, in the manager root. Returns {} when absent."""
+    import json
+
+    path = osp.abspath(path)
+    for cand in (path, osp.dirname(path), osp.dirname(osp.dirname(path))):
+        p = osp.join(cand, "meta.json")
+        if osp.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return {}
 
 
 def _resolve_checkpoint_dir(path: str) -> str:

@@ -69,3 +69,22 @@ def test_extra_color_augs(rng):
     # prob=0 -> unchanged
     out = RandomNoise(0.5, prob=0.0)({"img": img.copy()})
     np.testing.assert_array_equal(out["img"], img)
+
+
+def test_checkpoint_meta_roundtrip(tmp_path):
+    """save_weights/write_meta -> load_meta; init_detector picks classes up
+    from checkpoint meta when the config has none (reference checkpoint-meta
+    CLASSES embedding, tools/train.py:167-172)."""
+    from radet_tpu.engine.checkpoint import load_meta, save_weights, write_meta
+
+    path = str(tmp_path / "ck")
+    save_weights(path, {"params": {"w": np.zeros((2, 2), np.float32)}},
+                 meta=dict(classes=["a", "b"], radet_tpu_version="0.1.0"))
+    meta = load_meta(path)
+    assert meta["classes"] == ["a", "b"]
+    # manager-style: meta at the root, checkpoint in a step subdir
+    root = tmp_path / "mgr"
+    root.mkdir()
+    write_meta(str(root), dict(classes=["x"]))
+    (root / "100").mkdir()
+    assert load_meta(str(root / "100"))["classes"] == ["x"]
