@@ -121,6 +121,21 @@ class Config:
         cfg = load_config(path)
         if options:
             cfg = apply_overrides(cfg, options)
+        # mmcv custom_imports hook (reference tools/train.py:94-96): import
+        # user modules named in the config so their side effects (extra
+        # transforms, tools) register before anything is built
+        ci = cfg.get("custom_imports")
+        if ci:
+            import importlib
+
+            mods = ci.get("imports", []) if isinstance(ci, dict) else list(ci)
+            allow_failed = bool(ci.get("allow_failed_imports", False)) if isinstance(ci, dict) else False
+            for m in mods:
+                try:
+                    importlib.import_module(m)
+                except ImportError:
+                    if not allow_failed:
+                        raise
         return cls(cfg, filename=path)
 
     # -- mapping protocol -------------------------------------------------

@@ -54,3 +54,37 @@ def test_repo_configs_load():
     cfg = Config.fromfile(path)
     assert cfg.model.bbox_head.num_classes == 21
     assert cfg.test_cfg.nms.type == "vote"
+
+
+def test_custom_imports(tmp_path, monkeypatch):
+    """custom_imports executes named modules at config load (reference
+    tools/train.py:94-96), with allow_failed_imports semantics."""
+    import sys
+
+    from radet_tpu.utils import Config
+
+    mod = tmp_path / "my_plugin.py"
+    mod.write_text("FLAG = []\nFLAG.append('imported')\n")
+    monkeypatch.syspath_prepend(str(tmp_path))
+    cfg_file = tmp_path / "c.py"
+    cfg_file.write_text(
+        "custom_imports = dict(imports=['my_plugin'], allow_failed_imports=False)\n"
+        "x = 1\n"
+    )
+    cfg = Config.fromfile(str(cfg_file))
+    assert cfg.x == 1
+    assert "my_plugin" in sys.modules
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("custom_imports = dict(imports=['nope_missing_mod'])\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ImportError):
+        Config.fromfile(str(bad))
+
+    ok = tmp_path / "ok.py"
+    ok.write_text(
+        "custom_imports = dict(imports=['nope_missing_mod'], allow_failed_imports=True)\n"
+        "y = 2\n"
+    )
+    assert Config.fromfile(str(ok)).y == 2
