@@ -401,14 +401,24 @@ def _merge_flip_aug(infer, variables, batch, test_cfg,
     return np.stack(out_b), np.stack(out_s), np.stack(out_l), np.stack(out_v)
 
 
-def evaluate_results(dataset, results: List[dict]) -> Dict[str, float]:
-    """COCO bbox evaluation with the reference's protocol (bop.py:120-302)."""
+def evaluate_results(
+    dataset, results: List[dict], *, classwise: bool = False
+) -> Dict[str, float]:
+    """COCO bbox evaluation with the reference's protocol (bop.py:120-302).
+
+    ``classwise`` adds per-class AP entries (the reference's
+    ``--eval-options classwise=True``)."""
     coco_results = dataset.det2json(results)
     evaluator = COCOEvaluator(
         dataset.coco, cat_ids=dataset.cat_ids, img_ids=dataset.img_ids
     )
     metrics = evaluator.evaluate(coco_results)
-    return {f"bbox_{k}": v for k, v in metrics.items()}
+    out = {f"bbox_{k}": v for k, v in metrics.items()}
+    if classwise:
+        out.update(
+            {f"bbox_AP_{name}": ap for name, ap in evaluator.classwise_ap().items()}
+        )
+    return out
 
 
 def test_from_config(
@@ -419,6 +429,7 @@ def test_from_config(
     batch_size: Optional[int] = None,
     fmt_only: bool = False,
     strict: bool = True,
+    eval_options: Optional[Dict] = None,
 ):
     """Config-driven test entry used by tools/test.py.
 
@@ -480,7 +491,9 @@ def test_from_config(
         dataset = datasets[0]
         if fmt_only:
             return dataset, results, None
-        return dataset, results, evaluate_results(dataset, results)
+        return dataset, results, evaluate_results(
+        dataset, results, classwise=bool((eval_options or {}).get("classwise", False))
+    )
 
     dataset = build_dataset(cfg, split)
     n_dev = len(jax.devices())
@@ -503,4 +516,6 @@ def test_from_config(
     )
     if fmt_only:
         return dataset, results, None
-    return dataset, results, evaluate_results(dataset, results)
+    return dataset, results, evaluate_results(
+        dataset, results, classwise=bool((eval_options or {}).get("classwise", False))
+    )

@@ -140,6 +140,21 @@ class COCOEvaluator:
         self.recall = recall
         return out
 
+    def classwise_ap(self) -> Dict[str, float]:
+        """Per-class AP@[.5:.95] from the last evaluate() call — the
+        ``classwise=True`` eval option of the reference protocol
+        (mmdet CocoDataset.evaluate)."""
+        assert getattr(self, "precision", None) is not None, "run evaluate() first"
+        a = self.area_labels.index("all")
+        m = len(self.max_dets) - 1
+        out = {}
+        for k, cat_id in enumerate(self.cat_ids):
+            p = self.precision[:, :, k, a, m]
+            p = p[p > -1]
+            name = self.gt.cats.get(cat_id, {}).get("name", str(cat_id))
+            out[name] = float(p.mean()) if p.size else -1.0
+        return out
+
     # ------------------------------------------------------------------
     def _match_img(self, img_id: int, cat_id: int, dt_by_img_cat) -> dict:
         gts = self._gt_by_img_cat.get((img_id, cat_id), [])

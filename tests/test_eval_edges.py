@@ -60,3 +60,15 @@ def test_unknown_image_id_detections_ignored(tmp_path):
     out = ev.evaluate(dets)
     # det on an image outside the eval set contributes nothing
     np.testing.assert_allclose(out["mAP"], 1.0, atol=1e-6)
+
+
+def test_classwise_ap(tmp_path):
+    """classwise_ap returns per-class AP keyed by class name (the reference's
+    --eval-options classwise=True)."""
+    ev = COCOEvaluator(_gt(tmp_path), cat_ids=[1, 2])
+    dets = [dict(image_id=1, category_id=1, bbox=[10, 10, 100, 100], score=0.9)]
+    ev.evaluate(dets)
+    cw = ev.classwise_ap()
+    assert set(cw) == {"c1", "c2"}
+    np.testing.assert_allclose(cw["c1"], 1.0, atol=1e-6)
+    assert cw["c2"] == -1.0  # no GT for c2

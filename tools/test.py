@@ -45,13 +45,52 @@ def parse_args():
         "top-k) — see apis/test.strict_eval_overrides",
     )
     p.add_argument("--cfg-options", nargs="+", default=None)
+    p.add_argument(
+        "--eval-options",
+        "--options",  # deprecated reference alias
+        nargs="+",
+        default=None,
+        help="kwargs for evaluation as key=value, e.g. classwise=True",
+    )
+    # reference-CLI compatibility no-ops (GPU/launcher mechanics that have no
+    # TPU equivalent — XLA fuses conv+bn itself; result collection and
+    # distributed init are automatic):
+    for flag in ("--fuse-conv-bn", "--gpu-collect", "--shuffle"):
+        p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--tmpdir", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--launcher", default="none", help=argparse.SUPPRESS)
+    p.add_argument("--local_rank", type=int, default=0, help=argparse.SUPPRESS)
+    p.add_argument(
+        "--show", action="store_true",
+        help="alias for --show-dir work_dir/shown (no GUI on TPU hosts)",
+    )
     return p.parse_args()
+
+
+def parse_kv_options(pairs):
+    """['k=v', ...] -> dict with literal-eval'd values (DictAction analogue)."""
+    import ast
+
+    out = {}
+    for pair in pairs or []:
+        k, _, v = pair.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
 
 
 def main():
     args = parse_args()
     cfg = Config.fromfile(args.config, args.cfg_options)
     logger = get_root_logger()
+    eval_options = parse_kv_options(args.eval_options)
+    if args.show and not args.show_dir:
+        args.show_dir = osp.join(cfg.get("work_dir", "work_dirs"), "shown")
+        logger.info(f"--show: rendering to {args.show_dir} (headless TPU host)")
+    if args.fuse_conv_bn:
+        logger.info("--fuse-conv-bn: no-op — XLA fuses BN into convs at compile time")
 
     model, _, _, _ = build_model_and_anchors(cfg)
     variables = init_variables(model, tuple(cfg.get("input_size", (480, 640))))
@@ -68,6 +107,7 @@ def main():
         batch_size=args.batch_size,
         fmt_only=args.format_only and args.eval is None,
         strict=not args.fast,
+        eval_options=eval_options,
     )
 
     if args.out:
@@ -108,7 +148,10 @@ def main():
 
     if args.eval:
         if metrics is None:
-            metrics = evaluate_results(dataset, results)
+            metrics = evaluate_results(
+                dataset, results,
+                classwise=bool(eval_options.get("classwise", False)),
+            )
         for k, v in metrics.items():
             logger.info(f"{k}: {v:.4f}")
         print(json.dumps(metrics, indent=2))

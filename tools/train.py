@@ -33,6 +33,13 @@ def parse_args():
         default=None,
         help="override config entries, e.g. data.samples_per_gpu=8",
     )
+    # reference-CLI compatibility (GPU/launcher mechanics without a TPU
+    # equivalent; XLA runs are deterministic given --seed already):
+    p.add_argument("--deterministic", action="store_true", help=argparse.SUPPRESS)
+    p.add_argument("--gpus", type=int, default=None, help=argparse.SUPPRESS)
+    p.add_argument("--gpu-ids", type=int, nargs="+", default=None, help=argparse.SUPPRESS)
+    p.add_argument("--launcher", default="none", help=argparse.SUPPRESS)
+    p.add_argument("--local_rank", type=int, default=0, help=argparse.SUPPRESS)
     return p.parse_args()
 
 
