@@ -21,13 +21,28 @@ def main():
     p.add_argument("results", help="pickle produced by tools/test.py --out")
     p.add_argument("--split", default="test", choices=["test", "val"])
     p.add_argument("--cfg-options", nargs="+", default=None)
+    p.add_argument(
+        "--eval-options", nargs="+", default=None,
+        help="e.g. classwise=True for per-class AP",
+    )
     args = p.parse_args()
 
     cfg = Config.fromfile(args.config, args.cfg_options)
     dataset = build_dataset(cfg, args.split)
     with open(args.results, "rb") as f:
         results = pickle.load(f)
-    metrics = evaluate_results(dataset, results)
+    import ast
+
+    eval_options = {}
+    for pair in args.eval_options or []:
+        k, _, v = pair.partition("=")
+        try:
+            eval_options[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            eval_options[k] = v
+    metrics = evaluate_results(
+        dataset, results, classwise=bool(eval_options.get("classwise", False))
+    )
     print(json.dumps(metrics, indent=2))
 
 
