@@ -119,9 +119,9 @@ def main():
                 # batch 16 bf16; re-run that tool to reproduce — its first
                 # compile takes ~10 min through the axon tunnel, too slow
                 # to fold into this bench):
-                train_img_s_measured=347.4,
-                train_step_ms_measured=46.05,
-                train_mfu_measured=0.591,
+                train_img_s_measured=348.7,
+                train_step_ms_measured=45.88,
+                train_mfu_measured=0.593,
                 provenance=(
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
