@@ -50,6 +50,19 @@ class AnchorConfig:
             f"(ratios=[1.0], scales_per_octave=1); got ratios={ratios}, "
             f"scales_per_octave={spo}"
         )
+        # reject silently-divergent generator options too: this generator
+        # centers anchors at (j*s, i*s) (mmdet center_offset=0) and derives
+        # base sizes from octave_base_scale * stride
+        center_offset = cfg.get("center_offset", 0.0)
+        assert float(center_offset) == 0.0, (
+            f"radet-tpu anchors place centers at cell corners "
+            f"(center_offset=0, the RADet/ATSS configuration); got "
+            f"center_offset={center_offset}"
+        )
+        assert "scales" not in cfg and "base_sizes" not in cfg, (
+            "explicit anchor 'scales'/'base_sizes' are not supported — "
+            "sizes derive from octave_base_scale * stride (RADet config)"
+        )
         kwargs = {}
         if "strides" in cfg:
             kwargs["strides"] = tuple(cfg["strides"])

@@ -65,14 +65,19 @@ def candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid):
     return in_box & in_range & gt_valid[None, :]
 
 
-def _adaptive_k(anchor_sizes, pool, object_size, positive_num):
+def _adaptive_k(anchor_sizes, candidates, object_size, positive_num):
     """Size-adaptive positive count (label_assignment.py:88-95): per anchor
-    level present in the pool, k ~= positive_num * sum(ratio_lvl *
-    exp((obj_size - anchor_size_lvl) / (2 * anchor_size_lvl)))."""
-    pool_f = pool.astype(jnp.float32)
-    n_pool = jnp.maximum(pool_f.sum(), 1.0)
+    level present among the CANDIDATES, k ~= positive_num * sum(ratio_lvl *
+    exp((obj_size - anchor_size_lvl) / (2 * anchor_size_lvl))).
+
+    The reference averages over the full (unclaimed) candidate set —
+    ``concat_anchor_box_sizes[candidate_points_index]`` at :190-191 — NOT
+    the non-negative pool; the per-size grouping there equals this masked
+    mean exactly."""
+    cand_f = candidates.astype(jnp.float32)
+    n_cand = jnp.maximum(cand_f.sum(), 1.0)
     dk = jnp.exp((object_size - anchor_sizes) / (2.0 * anchor_sizes))
-    dk = (pool_f * dk).sum() / n_pool
+    dk = (cand_f * dk).sum() / n_cand
     return jnp.asarray(positive_num * dk + 0.5, jnp.int32)
 
 
@@ -132,7 +137,6 @@ def _sample_one_gt(
     static_argnames=(
         "positive_num",
         "neg_threshold",
-        "max_gt",
         "balance_sample",
         "adapt_positive_num",
         "random_sample_by_distance",
@@ -150,7 +154,6 @@ def assign_labels(
     *,
     positive_num: int = 10,
     neg_threshold: float = 0.2,
-    max_gt: int | None = None,
     balance_sample: bool = True,
     adapt_positive_num: bool = False,
     random_sample_by_distance: bool = True,
@@ -210,7 +213,11 @@ def assign_labels(
             obj_size = jnp.maximum(
                 gt_boxes[gi, 2] - gt_boxes[gi, 0], gt_boxes[gi, 3] - gt_boxes[gi, 1]
             )
-            k = jnp.clip(_adaptive_k(anchor_sizes, pool, obj_size, positive_num), 1, k_cap)
+            # k_cap bounds the static draw count; the reference is unbounded,
+            # but with the RADet regress ranges dk <= ~1.1 (each level's range
+            # upper bound equals its anchor size), so the 4x cap never binds
+            # on in-range data
+            k = jnp.clip(_adaptive_k(anchor_sizes, cand_g, obj_size, positive_num), 1, k_cap)
         else:
             k = jnp.asarray(positive_num, jnp.int32)
         counts = _sample_one_gt(

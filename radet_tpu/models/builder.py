@@ -40,6 +40,9 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         base_width=backbone.get("base_width", 4),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
+        stem_s2d=backbone.get("stem_s2d", False),
+        fpn_add_extra_convs=neck.get("add_extra_convs", "on_output"),
+        fpn_relu_before_extra_convs=neck.get("relu_before_extra_convs", False),
         fpn_out_channels=neck.get("out_channels", 256),
         fpn_num_outs=neck.get("num_outs", 5),
         fpn_start_level=neck.get("start_level", 1),

@@ -41,6 +41,9 @@ class RADet(nn.Module):
     base_width: int = 4
     deep_stem: bool = False  # ResNetV1d
     avg_down: bool = False
+    stem_s2d: bool = False  # space-to-depth stem (resnet.StemConvS2D)
+    fpn_add_extra_convs: str = "on_output"
+    fpn_relu_before_extra_convs: bool = False
     fpn_out_channels: int = 256
     fpn_num_outs: int = 5
     fpn_start_level: int = 1
@@ -58,6 +61,7 @@ class RADet(nn.Module):
             base_width=self.base_width,
             deep_stem=self.deep_stem,
             avg_down=self.avg_down,
+            stem_s2d=self.stem_s2d,
             dtype=self.dtype,
             name="backbone",
         )
@@ -65,6 +69,8 @@ class RADet(nn.Module):
             out_channels=self.fpn_out_channels,
             num_outs=self.fpn_num_outs,
             start_level=self.fpn_start_level,
+            add_extra_convs=self.fpn_add_extra_convs,
+            relu_before_extra_convs=self.fpn_relu_before_extra_convs,
             dtype=self.dtype,
             name="neck",
         )

@@ -68,8 +68,19 @@ class FPN(nn.Module):
         ]
         extra_levels = self.num_outs - num_laterals
         if extra_levels > 0:
-            assert self.add_extra_convs == "on_output", "only 'on_output' is used by RADet"
-            source = outs[-1]
+            # mmdet FPN extra-conv source options (reference fpn.py:66-221);
+            # the RADet configs use 'on_output'
+            if self.add_extra_convs == "on_output":
+                source = outs[-1]
+            elif self.add_extra_convs == "on_input":
+                source = inputs[-1].astype(self.dtype)
+            elif self.add_extra_convs == "on_lateral":
+                source = laterals[-1]
+            else:
+                raise ValueError(
+                    f"unsupported add_extra_convs={self.add_extra_convs!r} "
+                    "(expected 'on_output', 'on_input', or 'on_lateral')"
+                )
             for i in range(extra_levels):
                 if i > 0 and self.relu_before_extra_convs:
                     source = nn.relu(source)

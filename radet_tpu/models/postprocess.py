@@ -36,6 +36,19 @@ class Detections(NamedTuple):
     scores: jnp.ndarray  # (B, M)
     labels: jnp.ndarray  # (B, M) int32
     valid: jnp.ndarray  # (B, M) bool
+    # populated only on the with_nms=False proposal path: the anchor that
+    # produced each candidate (reference radet_head.py:165-169 returns
+    # anchors alongside proposals for the downstream pose stage)
+    anchors: jnp.ndarray | None = None
+
+
+def _decode_clip(g_anchors, g_regs, img_shapes, normalizer):
+    """TBLR-decode candidates and clamp to the per-image resized bounds."""
+    hw = img_shapes.astype(jnp.float32)  # (B, 2)
+    boxes = tblr_decode(g_anchors, g_regs, normalizer=normalizer)
+    x = jnp.clip(boxes[..., 0::2], 0, hw[:, None, None, 1])
+    y = jnp.clip(boxes[..., 1::2], 0, hw[:, None, None, 0])
+    return jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
 
 
 def _select_rows(idx, values_list, n):
@@ -91,7 +104,7 @@ def select_candidates(
     Returns (boxes (B,K,4), cls_scores (B,K), iou_scores (B,K),
     labels (B,K) int32, valid (B,K)).
     """
-    all_boxes, all_cls, all_iou, all_labels, all_valid = [], [], [], [], []
+    all_boxes, all_cls, all_iou, all_labels, all_valid, all_anchors = [], [], [], [], [], []
     for cls_map, reg_map, iou_map, anchors in zip(
         cls_list, reg_list, iou_list, anchors_per_level
     ):
@@ -113,18 +126,14 @@ def select_candidates(
         g_anchors, g_regs, g_ious = _select_rows(
             anchor_idx, [anchors_j, regs, ious], n_l
         )
-
-        hw = img_shapes.astype(jnp.float32)  # (B, 2)
-        boxes = tblr_decode(g_anchors, g_regs, normalizer=normalizer)
-        x = jnp.clip(boxes[..., 0::2], 0, hw[:, None, None, 1])
-        y = jnp.clip(boxes[..., 1::2], 0, hw[:, None, None, 0])
-        boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
+        boxes = _decode_clip(g_anchors, g_regs, img_shapes, normalizer)
 
         all_boxes.append(boxes)
         all_cls.append(jnp.where(valid, top_scores, 0.0))
         all_iou.append(g_ious)
         all_labels.append(label)
         all_valid.append(valid)
+        all_anchors.append(g_anchors)
 
     return (
         jnp.concatenate(all_boxes, axis=1),
@@ -132,6 +141,7 @@ def select_candidates(
         jnp.concatenate(all_iou, axis=1),
         jnp.concatenate(all_labels, axis=1),
         jnp.concatenate(all_valid, axis=1),
+        jnp.concatenate(all_anchors, axis=1),
     )
 
 
@@ -187,13 +197,8 @@ def select_candidates_global(
         [jnp.broadcast_to(anchors[None], (b, n, 4)), regs, ious],
         n,
     )
-
-    hw = img_shapes.astype(jnp.float32)
-    boxes = tblr_decode(g_anchors, g_regs, normalizer=normalizer)
-    x = jnp.clip(boxes[..., 0::2], 0, hw[:, None, None, 1])
-    y = jnp.clip(boxes[..., 1::2], 0, hw[:, None, None, 0])
-    boxes = jnp.stack([x[..., 0], y[..., 0], x[..., 1], y[..., 1]], axis=-1)
-    return boxes, jnp.where(valid, top_scores, 0.0), g_ious, label, valid
+    boxes = _decode_clip(g_anchors, g_regs, img_shapes, normalizer)
+    return boxes, jnp.where(valid, top_scores, 0.0), g_ious, label, valid, g_anchors
 
 
 def get_bboxes(
@@ -227,7 +232,7 @@ def get_bboxes(
     candidate_mode = str(test_cfg.get("candidate_mode", "global"))
 
     if candidate_mode == "global":
-        boxes, cls_s, iou_s, labels, valid = select_candidates_global(
+        boxes, cls_s, iou_s, labels, valid, cand_anchors = select_candidates_global(
             cls_list,
             reg_list,
             iou_list,
@@ -240,7 +245,7 @@ def get_bboxes(
             approx_recall=float(test_cfg.get("approx_recall", 0.95)),
         )
     else:
-        boxes, cls_s, iou_s, labels, valid = select_candidates(
+        boxes, cls_s, iou_s, labels, valid, cand_anchors = select_candidates(
             cls_list,
             reg_list,
             iou_list,
@@ -264,7 +269,10 @@ def get_bboxes(
 
     if not with_nms:
         scores = cls_s * iou_s
-        return Detections(boxes=boxes, scores=scores, labels=labels, valid=valid)
+        return Detections(
+            boxes=boxes, scores=scores, labels=labels, valid=valid,
+            anchors=cand_anchors,
+        )
 
     iou_threshold = float(nms_cfg.pop("iou_threshold", 0.6))
     if nms_type in ("vote", "global_vote"):

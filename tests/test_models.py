@@ -58,3 +58,62 @@ def test_batch_stats_collection_exists(tiny_model_and_vars):
     # BN in backbone only; head uses GN (params), FPN has no norm
     assert "backbone" in variables["batch_stats"]
     assert "neck" not in variables["batch_stats"]
+
+
+def test_fpn_extra_conv_sources(rng):
+    """add_extra_convs 'on_input'/'on_lateral'/'on_output' produce 5 levels
+    with correct shapes; unknown values raise (reference fpn.py:66-221)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from radet_tpu.models.fpn import FPN
+
+    feats = [
+        jnp.asarray(rng.rand(1, 32 // (2 ** i), 40 // (2 ** i), 16 * 2 ** i).astype(np.float32))
+        for i in range(4)
+    ]
+    for src in ("on_output", "on_input", "on_lateral"):
+        fpn = FPN(out_channels=16, num_outs=5, start_level=1, add_extra_convs=src,
+                  relu_before_extra_convs=(src == "on_input"))
+        outs, _ = fpn.init_with_output(jax.random.PRNGKey(0), feats)
+        assert len(outs) == 5
+        assert outs[-1].shape[1:3] == (1, 2)  # stride-128 level
+    with _pytest.raises(ValueError):
+        FPN(out_channels=16, num_outs=5, start_level=1, add_extra_convs="bogus").init(
+            jax.random.PRNGKey(0), feats
+        )
+
+
+def test_proposal_path_returns_anchors(rng):
+    """with_nms=False exposes per-candidate anchors (reference
+    radet_head.py:165-169 proposal contract for the pose stage)."""
+    import jax.numpy as jnp
+
+    from radet_tpu.models.postprocess import get_bboxes
+
+    b, c = 2, 3
+    shapes = [(8, 10), (4, 5)]
+    anchors_per_level = [
+        np.stack(np.meshgrid(np.arange(w_), np.arange(h_)), -1).reshape(-1, 2).astype(np.float32)
+        for (h_, w_) in shapes
+    ]
+    anchors_per_level = [
+        np.concatenate([a * 8, a * 8 + 32], -1) for a in anchors_per_level
+    ]
+    cls_list = [jnp.asarray(rng.randn(b, h_, w_, c).astype(np.float32)) for h_, w_ in shapes]
+    reg_list = [jnp.asarray(np.abs(rng.randn(b, h_, w_, 4)).astype(np.float32)) for h_, w_ in shapes]
+    iou_list = [jnp.asarray(rng.randn(b, h_, w_, 1).astype(np.float32)) for h_, w_ in shapes]
+    det = get_bboxes(
+        cls_list, reg_list, iou_list, anchors_per_level,
+        jnp.full((b, 2), 64.0), jnp.ones((b, 4)),
+        test_cfg=dict(score_thr=0.05, nms_topk=16, candidate_mode="global",
+                      approx_topk=False),
+        with_nms=False,
+    )
+    assert det.anchors is not None and det.anchors.shape == det.boxes.shape
+    # every valid candidate's anchor is one of the real anchors
+    all_anchors = np.concatenate(anchors_per_level, 0)
+    got = np.asarray(det.anchors)[np.asarray(det.valid)]
+    for a in got[:10]:
+        assert (np.abs(all_anchors - a).sum(1) < 1e-4).any()
