@@ -57,10 +57,15 @@ def run_inference(
     score_thr_keep: float = 0.0,
     log_interval: int = 50,
     aug_flip: bool = False,
+    infer_step=None,
 ) -> List[dict]:
-    """Returns per-image detection dicts {boxes (M,4), scores, labels, img_id}."""
+    """Returns per-image detection dicts {boxes (M,4), scores, labels, img_id}.
+
+    ``infer_step`` lets callers reuse a previously built (compiled) step —
+    each build_infer_step call is a fresh jit closure with its own compile
+    cache, so periodic-eval callers must pass one to avoid recompiling."""
     logger = get_root_logger()
-    infer = build_infer_step(
+    infer = infer_step or build_infer_step(
         model,
         anchors,
         level_counts,
@@ -151,6 +156,29 @@ def _pad_batch(batch: Dict, batch_size: int) -> Dict:
         k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)], 0)
         for k, v in batch.items()
     }
+
+
+def _flip_batch_images(images: np.ndarray, shapes: np.ndarray) -> np.ndarray:
+    """Horizontally flip each image within its valid (unpadded) width."""
+    flipped = images.copy()
+    for i in range(len(images)):
+        w = int(shapes[i][1])
+        flipped[i, :, :w] = images[i, :, :w][:, ::-1]
+    return flipped
+
+
+def _unflip_boxes(boxes: np.ndarray, shapes: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Mirror detection x-coords back into original-image space.
+
+    Detections are in ORIGINAL image coordinates, so the mirror axis is
+    W_ori = w_resized / scale.  Returns a new array."""
+    out = np.array(boxes)  # writable copy (asarray may be read-only)
+    for i in range(len(out)):
+        w_ori = shapes[i][1] / max(scales[i][0], 1e-12)
+        x1 = w_ori - boxes[i][:, 2].copy()
+        x2 = w_ori - boxes[i][:, 0].copy()
+        out[i][:, 0], out[i][:, 2] = x1, x2
+    return out
 
 
 def _host_vote_fuse(boxes, cluster_scores, vote_scores, labels, iou_thr: float):
@@ -262,20 +290,11 @@ def run_tta_inference(
                 images = np.asarray(batch["image"])
                 shapes = np.asarray(batch["img_shape"])
                 scales = np.asarray(batch["scale_factor"])
-                flipped = images.copy()
-                for i in range(len(images)):
-                    w = int(shapes[i][1])
-                    flipped[i, :, :w] = images[i, :, :w][:, ::-1]
+                flipped = _flip_batch_images(images, shapes)
                 det_f = infer(
                     variables, flipped, batch["img_shape"], batch["scale_factor"]
                 )
-                fb = np.array(det_f.boxes)  # writable copy (asarray is read-only)
-                # unflip in ORIGINAL coords: W_ori = w_resized / scale
-                for i in range(len(images)):
-                    w_ori = shapes[i][1] / max(scales[i][0], 1e-12)
-                    x1 = w_ori - fb[i][:, 2].copy()
-                    x2 = w_ori - fb[i][:, 0].copy()
-                    fb[i][:, 0], fb[i][:, 2] = x1, x2
+                fb = _unflip_boxes(np.asarray(det_f.boxes), shapes, scales)
                 _collect(det_f._replace(boxes=fb), batch)
 
         for i in range(real):
@@ -362,12 +381,9 @@ def _merge_flip_aug(infer, variables, batch, test_cfg,
     images = np.asarray(batch["image"])
     shapes = np.asarray(batch["img_shape"])
     scales = np.asarray(batch["scale_factor"])
-    flipped = images.copy()
-    for i in range(len(images)):
-        w = int(shapes[i][1])
-        flipped[i, :, :w] = images[i, :, :w][:, ::-1]
+    flipped = _flip_batch_images(images, shapes)
     det_f = infer(variables, flipped, batch["img_shape"], batch["scale_factor"])
-    fb = np.asarray(det_f.boxes)
+    fb = _unflip_boxes(np.asarray(det_f.boxes), shapes, scales)
     fs = np.asarray(det_f.scores)
     fl = np.asarray(det_f.labels)
     fv = np.asarray(det_f.valid)
@@ -378,11 +394,7 @@ def _merge_flip_aug(infer, variables, batch, test_cfg,
     out_b, out_s, out_l, out_v = [], [], [], []
     m = boxes.shape[1]
     for i in range(len(images)):
-        # unflip: boxes are in ORIGINAL image coords; W_ori = w_resized/scale
-        w_ori = shapes[i][1] / max(scales[i][0], 1e-12)
-        ub = fb[i].copy()
-        ub[:, 0] = w_ori - fb[i][:, 2]
-        ub[:, 2] = w_ori - fb[i][:, 0]
+        ub = fb[i]
         cb = np.concatenate([boxes[i][valid[i]], ub[fv[i]]], 0)
         cs = np.concatenate([scores[i][valid[i]], fs[i][fv[i]]], 0)
         cl = np.concatenate([labels[i][valid[i]], fl[i][fv[i]]], 0).astype(np.int64)

@@ -180,6 +180,7 @@ def train_detector(
 
     rng_key = jax.random.PRNGKey(seed + 1)
     best_score = float("-inf")
+    eval_cache: dict = {}  # val dataset + compiled infer step, built once
     last_saved = -1
     it = iter(loader)
     t_log = time.time()
@@ -211,7 +212,9 @@ def train_detector(
                 last_saved = step
                 logger.info(f"checkpoint saved at step {step}")
             if eval_during_train and eval_interval and step % eval_interval == 0:
-                metrics_eval = _run_eval(cfg, model, state, anchors, counts, logger)
+                metrics_eval = _run_eval(
+                    cfg, model, state, anchors, counts, logger, eval_cache
+                )
                 # save_best (reference EvalHook save_best, eval_hooks.py:156-170)
                 save_best_key = (eval_cfg.get("save_best") if eval_cfg else None) or None
                 if metrics_eval and save_best_key:
@@ -252,12 +255,28 @@ def train_detector(
     return state
 
 
-def _run_eval(cfg, model, state, anchors, counts, logger):
-    try:
-        val_dataset = build_dataset(cfg, "val")
-    except (FileNotFoundError, KeyError) as e:
-        logger.warning(f"skipping eval: {e}")
-        return None
+def _run_eval(cfg, model, state, anchors, counts, logger, _cache):
+    # the val dataset and the compiled infer step are invariant across the
+    # periodic evals of one run — rebuilding them each interval re-parsed
+    # the annotation json and recompiled the full inference program
+    # (tens of seconds on TPU) every 10k steps
+    if "dataset" not in _cache:
+        try:
+            _cache["dataset"] = build_dataset(cfg, "val")
+        except (FileNotFoundError, KeyError) as e:
+            logger.warning(f"skipping eval: {e}")
+            return None
+        from ..engine.train_step import build_infer_step
+
+        _cache["infer"] = build_infer_step(
+            model,
+            anchors,
+            counts,
+            img_norm=cfg.img_norm_cfg.to_dict(),
+            test_cfg=cfg.test_cfg.to_dict(),
+            normalizer=normalizer_from_cfg(cfg),
+        )
+    val_dataset = _cache["dataset"]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = run_inference(
         model,
@@ -269,6 +288,7 @@ def _run_eval(cfg, model, state, anchors, counts, logger):
         test_cfg=cfg.test_cfg.to_dict(),
         batch_size=int(cfg.data.get("samples_per_gpu", 8)),
         normalizer=normalizer_from_cfg(cfg),
+        infer_step=_cache["infer"],
     )
     metrics = evaluate_results(val_dataset, results)
     logger.info("eval: " + " ".join(f"{k} {v:.4f}" for k, v in metrics.items()))

@@ -85,6 +85,7 @@ class ClassBalancedDataset(_ForwardingMixin):
     def __init__(self, dataset, oversample_thr: float, filter_empty_gt: bool = True):
         self.dataset = dataset
         self.oversample_thr = oversample_thr
+        self.filter_empty_gt = filter_empty_gt
         self.CLASSES = getattr(dataset, "CLASSES", None)
 
         repeat_factors = self._get_repeat_factors(dataset, oversample_thr)
@@ -107,8 +108,14 @@ class ClassBalancedDataset(_ForwardingMixin):
         n = len(dataset)
         cat_freq = defaultdict(float)
         img_cats = []
+        # reference semantics (dataset_wrappers.py:261,280): with
+        # filter_empty_gt=False, empty-GT images act as a pseudo-category so
+        # their rarity also drives oversampling
+        empty_cat = len(self.CLASSES) if self.CLASSES is not None else -1
         for idx in range(n):
             cats = self._image_cat_ids(dataset, idx)
+            if not cats and not self.filter_empty_gt:
+                cats = {empty_cat}
             img_cats.append(cats)
             for c in cats:
                 cat_freq[c] += 1.0

@@ -102,10 +102,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + epoch)
             rng.shuffle(idx)
-        # pad so every shard sees the same number of samples
+        # pad (cycling) so every shard sees the same number of samples —
+        # even when num_shards > len(dataset), where a single doubling of
+        # idx would leave later shards with an empty stream (multi-host
+        # deadlock in the jitted step's collectives)
         per_shard = (len(idx) + self.num_shards - 1) // self.num_shards
         total = per_shard * self.num_shards
-        idx = (idx * 2)[:total]
+        reps = (total + len(idx) - 1) // len(idx)
+        idx = (idx * reps)[:total]
         return idx[self.shard_id :: self.num_shards]
 
     def __len__(self) -> int:
@@ -181,7 +185,13 @@ class DataLoader:
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
                 error = e
             finally:
-                out_q.put(error)  # None = clean end; exception = propagate
+                # non-blocking terminal put: if the consumer abandoned
+                # iteration and the queue refilled after its drain, a
+                # blocking put would hang here forever and leak the executor
+                try:
+                    out_q.put(error, timeout=1.0)  # None = clean end
+                except queue.Full:
+                    pass
                 executor.shutdown(wait=False, cancel_futures=True)
 
         thread = threading.Thread(target=producer, daemon=True)

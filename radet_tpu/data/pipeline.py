@@ -120,8 +120,17 @@ class LoadMaskFromFile:
         ).replace(self.replace_path[0], self.replace_path[1])
         base = filename.rpartition(".")[0]
         h, w = results["img_info"]["height"], results["img_info"]["width"]
+        # BOP mask files are numbered by ORIGINAL annotation position; when
+        # annotations were filtered (min_visib_frac, degenerate boxes) the
+        # kept-GT order no longer matches a sequential count — ann_info's
+        # per-GT mask paths carry the original indices, so derive from them
+        ann_masks = (results.get("ann_info") or {}).get("masks")
+        if ann_masks is not None and len(ann_masks) == len(results["gt_bboxes"]):
+            orig_idx = [int(p.rpartition("_")[2].split(".")[0]) for p in ann_masks]
+        else:
+            orig_idx = list(range(len(results["gt_bboxes"])))
         masks = []
-        for i in range(len(results["gt_bboxes"])):
+        for i in orig_idx:
             m = cv2.imread(f"{base}_{i:06d}.png", cv2.IMREAD_GRAYSCALE)
             if m is None:
                 raise FileNotFoundError(f"{base}_{i:06d}.png")
@@ -239,6 +248,16 @@ class Pad:
         else:
             d = self.size_divisor
             th, tw = (h + d - 1) // d * d, (w + d - 1) // d * d
+        if h > th or w > tw:
+            # e.g. a portrait image through a landscape static input_size:
+            # keep_ratio resize bounds long/short sides, not height/width,
+            # so the resized image can exceed the pad target in one dim
+            raise ValueError(
+                f"Pad target {(th, tw)} is smaller than the image {(h, w)} — "
+                "the dataset mixes orientations incompatible with the static "
+                "input_size; set input_size (and Resize img_scale) to cover "
+                "the larger orientation"
+            )
         if (th, tw) != (h, w):
             out = np.zeros((th, tw) + img.shape[2:], img.dtype)
             out[:h, :w] = img
@@ -527,9 +546,15 @@ class Albu:
 
         bp = None
         if bbox_params is not None:
-            bp = A.BboxParams(format="pascal_voc", label_fields=["labels"],
+            # idx_mapper (mmdet's filter_lost_elements mechanism,
+            # transforms.py:1256-1263): carries each box's original index
+            # through albumentations' bbox filtering so masks can be
+            # re-selected to stay aligned with the surviving boxes
+            bp = A.BboxParams(format="pascal_voc",
+                              label_fields=["labels", "idx_mapper"],
                               **{k: v for k, v in bbox_params.items()
-                                 if k not in ("type", "format", "label_fields")})
+                                 if k not in ("type", "format", "label_fields",
+                                              "filter_lost_elements")})
         self.aug = A.Compose([build(t) for t in transforms], bbox_params=bp)
         self.with_bboxes = bp is not None
 
@@ -538,6 +563,7 @@ class Albu:
         if self.with_bboxes:
             kwargs["bboxes"] = [tuple(b) for b in results.get("gt_bboxes", [])]
             kwargs["labels"] = list(results.get("gt_labels", []))
+            kwargs["idx_mapper"] = list(range(len(kwargs["bboxes"])))
         if "gt_masks" in results and len(results["gt_masks"]):
             kwargs["masks"] = [m for m in results["gt_masks"]]
         out = self.aug(**kwargs)
@@ -550,8 +576,12 @@ class Albu:
             results["gt_bboxes"] = boxes
             results["gt_labels"] = np.asarray(out["labels"], np.int64)
         if "masks" in out:
+            masks = out["masks"]
+            if self.with_bboxes and len(masks):
+                # re-select masks by the surviving boxes' original indices
+                masks = [masks[i] for i in out["idx_mapper"]]
             results["gt_masks"] = (
-                np.stack(out["masks"], 0) if out["masks"]
+                np.stack(masks, 0) if len(masks)
                 else np.zeros((0,) + results["img"].shape[:2], np.uint8)
             )
         return results

@@ -129,13 +129,16 @@ class COCOEvaluator:
             "mAP_s": _ap(area="small"),
             "mAP_m": _ap(area="medium"),
             "mAP_l": _ap(area="large"),
-            f"AR@{md[0]}": _ar(max_det=md[0]),
-            f"AR@{md[1]}": _ar(max_det=md[1]) if M > 1 else -1.0,
-            f"AR@{md[-1]}": _ar(max_det=md[-1]),
+        }
+        # one AR per distinct maxDet (custom lists may have 1..n entries;
+        # indexing md[1] unconditionally crashed on single-entry lists)
+        for m_det in dict.fromkeys(md):
+            out[f"AR@{m_det}"] = _ar(max_det=m_det)
+        out.update({
             f"AR_s@{md[-1]}": _ar(area="small", max_det=md[-1]),
             f"AR_m@{md[-1]}": _ar(area="medium", max_det=md[-1]),
             f"AR_l@{md[-1]}": _ar(area="large", max_det=md[-1]),
-        }
+        })
         self.precision = precision
         self.recall = recall
         return out
