@@ -94,3 +94,33 @@ class FPN(nn.Module):
                 )(source)
                 outs.append(source)
         return tuple(outs)
+
+
+class ChannelMapper(nn.Module):
+    """Per-scale conv mapping backbone channels to a common width — parity
+    with the reference's other registered neck
+    (/root/reference/radet/models/necks/channel_mapper.py:8-80): one
+    ConvModule (conv + ReLU by default) per input level, no top-down path.
+    Number of outputs equals the number of inputs."""
+
+    out_channels: int = 256
+    kernel_size: int = 3
+    with_relu: bool = True  # act_cfg=dict(type='ReLU') default
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[jnp.ndarray]) -> Tuple[jnp.ndarray, ...]:
+        pad = (self.kernel_size - 1) // 2
+        outs = []
+        for i, x in enumerate(inputs):
+            y = nn.Conv(
+                self.out_channels,
+                (self.kernel_size, self.kernel_size),
+                padding=((pad, pad), (pad, pad)),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                kernel_init=nn.initializers.xavier_uniform(),
+                name=f"map_{i}",
+            )(x.astype(self.dtype))
+            outs.append(nn.relu(y) if self.with_relu else y)
+        return tuple(outs)

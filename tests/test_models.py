@@ -117,3 +117,23 @@ def test_proposal_path_returns_anchors(rng):
     got = np.asarray(det.anchors)[np.asarray(det.valid)]
     for a in got[:10]:
         assert (np.abs(all_anchors - a).sum(1) < 1e-4).any()
+
+
+def test_channel_mapper(rng):
+    """ChannelMapper maps each level to out_channels with no top-down path
+    (reference channel_mapper.py:8-80)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.models.fpn import ChannelMapper
+
+    feats = [
+        jnp.asarray(rng.rand(2, 16 // (2 ** i), 20 // (2 ** i), 8 * 2 ** i).astype(np.float32))
+        for i in range(3)
+    ]
+    cm = ChannelMapper(out_channels=24, kernel_size=3)
+    outs, _ = cm.init_with_output(jax.random.PRNGKey(0), feats)
+    assert len(outs) == 3
+    for f, o in zip(feats, outs):
+        assert o.shape == f.shape[:3] + (24,)
+        assert (np.asarray(o) >= 0).all()  # ReLU default
