@@ -7,8 +7,8 @@ detection readback, i.e. the reference tools/test.py hot loop (SURVEY.md
 §3.2) as deployed with an overlapped input pipeline.  Input batches are
 staged on device outside the timed loop: in this harness the chip sits
 behind a network relay (axon tunnel) whose ~15 MB/s host link would dominate
-the measurement, while on real TPU hosts the 30 MB uint8 batch transfer is
-sub-millisecond over PCIe and fully overlapped by the double-buffering
+the measurement, while on real TPU hosts the ~118 MB uint8 batch-128 transfer takes
+~10 ms over PCIe and fully overlapped by the double-buffering
 loader (radet_tpu/data/loader.py).
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
@@ -113,21 +113,22 @@ def main():
                 vs_baseline=round(ips / REFERENCE_GPU_IPS, 2),
                 host_inclusive_img_s=round(ips_host, 1),
                 host_link_MBps=round(link_mbs, 1),
-                # training-side numbers, measured this round by
-                # tools/profile_train.py on the same chip (full production
-                # step: fwd + on-device assignment + loss + bwd + AdamW,
-                # batch 16 bf16; re-run that tool to reproduce — its first
-                # compile takes ~10 min through the axon tunnel, too slow
-                # to fold into this bench):
-                train_img_s_measured=348.7,
-                train_step_ms_measured=45.88,
-                train_mfu_measured=0.593,
+                # training-side numbers from tools/profile_train.py on the
+                # same chip (full production step: fwd + on-device assignment
+                # + loss + bwd + AdamW, batch 16 bf16).  STATIC SNAPSHOT with
+                # an as-of stamp, not re-measured here: the train step's
+                # first compile takes ~10 min through the axon tunnel.
+                # Re-run tools/profile_train.py to refresh.
+                train_measured=dict(
+                    img_s=348.7, step_ms=45.88, mfu=0.593,
+                    asof="2026-08-17 round 2",
+                ),
                 provenance=(
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
                     "host_inclusive_img_s includes per-batch host->device transfer "
                     f"over this harness's link ({link_mbs:.0f} MB/s relay; a real "
-                    "TPU host PCIe link moves the 30 MB batch in ~10 ms, overlapped). "
+                    "TPU host PCIe link moves the ~118 MB batch-128 in ~10 ms, overlapped). "
                     f"vs_baseline divides by an ASSUMED {REFERENCE_GPU_IPS:.0f} img/s "
                     "reference-GPU figure — the reference repo publishes no speed "
                     "numbers (BASELINE.md)."

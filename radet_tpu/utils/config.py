@@ -78,6 +78,21 @@ def _parse_value(text: str) -> Any:
         return text
 
 
+def parse_kv_options(pairs: Sequence[str] | None) -> Dict[str, Any]:
+    """['k=v', ...] -> dict with literal-eval'd values (the mmcv DictAction
+    analogue used by --eval-options style CLI flags)."""
+    import ast
+
+    out: Dict[str, Any] = {}
+    for pair in pairs or []:
+        k, _, v = pair.partition("=")
+        try:
+            out[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            out[k] = v
+    return out
+
+
 def apply_overrides(cfg: Dict[str, Any], options: Sequence[str]) -> Dict[str, Any]:
     """Apply ``key.sub=value`` CLI overrides (deep set; value literal-eval'd).
 

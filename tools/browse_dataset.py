@@ -39,7 +39,18 @@ def main():
     cfg = Config.fromfile(args.config, args.cfg_options)
     dataset = build_dataset(cfg, args.split, test_mode=(args.split != "train"))
     os.makedirs(args.output_dir, exist_ok=True)
-    anchors, ranges, _, _ = generate_anchors(tuple(cfg.get("input_size", (480, 640))))
+    # use the SAME anchor configuration the dataset pipeline was built with
+    # (anchor_generator overrides + label_assignment regress_ranges) — the
+    # default generator would mismatch dist_vals row counts for custom configs
+    from radet_tpu.apis.common import anchor_cfg_from_model
+
+    la = cfg.get("label_assignment")
+    anchor_cfg = anchor_cfg_from_model(
+        cfg.model.to_dict(), la.to_dict() if la is not None else None
+    )
+    anchors, ranges, _, _ = generate_anchors(
+        tuple(cfg.get("input_size", (480, 640))), anchor_cfg
+    )
     centers = anchor_centers(anchors)
 
     _GT_COLORS = [

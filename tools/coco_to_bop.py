@@ -28,7 +28,9 @@ def main():
         by_scene[int(d["scene_id"])][str(int(d["image_id"]))].append(
             dict(
                 obj_id=int(d["category_id"]),
-                bbox_est=[float(v) for v in d["bbox"]],
+                # reference key (coco_to_bop.py:32): the scene_gt_info schema
+                # bop_to_coco reads back expects bbox_obj
+                bbox_obj=[float(v) for v in d["bbox"]],
                 score=float(d["score"]),
             )
         )

@@ -31,15 +31,9 @@ def main():
     dataset = build_dataset(cfg, args.split)
     with open(args.results, "rb") as f:
         results = pickle.load(f)
-    import ast
+    from radet_tpu.utils.config import parse_kv_options
 
-    eval_options = {}
-    for pair in args.eval_options or []:
-        k, _, v = pair.partition("=")
-        try:
-            eval_options[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            eval_options[k] = v
+    eval_options = parse_kv_options(args.eval_options)
     metrics = evaluate_results(
         dataset, results, classwise=bool(eval_options.get("classwise", False))
     )

@@ -34,6 +34,9 @@ def main():
     x = jnp.zeros((args.batch_size, h, w, 3), jnp.float32)
     lowered = jax.jit(fwd).lower(variables, x)
     cost = lowered.compile().cost_analysis()
+    # some JAX versions return a single-element list of dicts
+    if isinstance(cost, (list, tuple)):
+        cost = cost[0] if cost else None
     flops = cost.get("flops", float("nan")) if cost else float("nan")
     print(f"input: {args.batch_size}x{h}x{w}x3")
     print(f"params: {n_params / 1e6:.2f} M")

@@ -22,6 +22,7 @@ from radet_tpu.apis.test import evaluate_results, test_from_config
 from radet_tpu.engine.checkpoint import load_weights
 from radet_tpu.apis.common import build_model_and_anchors, init_variables
 from radet_tpu.utils import Config, get_root_logger
+from radet_tpu.utils.config import parse_kv_options
 
 
 def parse_args():
@@ -67,20 +68,6 @@ def parse_args():
     return p.parse_args()
 
 
-def parse_kv_options(pairs):
-    """['k=v', ...] -> dict with literal-eval'd values (DictAction analogue)."""
-    import ast
-
-    out = {}
-    for pair in pairs or []:
-        k, _, v = pair.partition("=")
-        try:
-            out[k] = ast.literal_eval(v)
-        except (ValueError, SyntaxError):
-            out[k] = v
-    return out
-
-
 def main():
     args = parse_args()
     cfg = Config.fromfile(args.config, args.cfg_options)
@@ -105,7 +92,9 @@ def main():
         variables,
         split=args.split,
         batch_size=args.batch_size,
-        fmt_only=args.format_only and args.eval is None,
+        # evaluate only when --eval was requested (a bare --out/--format-only
+        # run previously paid a full discarded COCO evaluation)
+        fmt_only=args.eval is None,
         strict=not args.fast,
         eval_options=eval_options,
     )

@@ -38,9 +38,9 @@ def main():
     args = p.parse_args()
 
     if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+        # must be the ENV var: radet_tpu's import hook re-pins the jax
+        # config to JAX_PLATFORMS, which would revert a config.update here
+        os.environ["JAX_PLATFORMS"] = "cpu"
 
     from fixtures import make_synthetic_bop
 
