@@ -43,15 +43,19 @@ def train_detector(
 ) -> TrainState:
     work_dir = work_dir or cfg.get("work_dir", "work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
-    logger = get_root_logger(osp.join(work_dir, f"train_{int(time.time())}.log"))
     seed = seed if seed is not None else int(cfg.get("seed", 0))
 
     # multi-host: the jax-native replacement for the reference's
     # pytorch/slurm/mpi launchers (tools/train.py:66-70) — coordinator
     # address/process id come from the environment (JAX_COORDINATOR_ADDRESS
-    # or cloud-TPU metadata)
+    # or cloud-TPU metadata).  Must run before anything touches the backend.
     if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("RADET_DISTRIBUTED"):
         jax.distributed.initialize()
+
+    logger = get_root_logger(
+        osp.join(work_dir, f"train_{int(time.time())}_p{jax.process_index()}.log")
+    )
+    if jax.process_count() > 1:
         logger.info(
             f"distributed: process {jax.process_index()}/{jax.process_count()}"
         )
@@ -93,12 +97,29 @@ def train_detector(
     )
 
     batch_size = int(cfg.data.get("samples_per_gpu", 16))
-    n_dev = len(jax.devices())
-    # the data mesh must divide the per-host batch
-    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-    mesh = create_mesh(jax.devices()[:use_dev])
-    state = jax.device_put(state, replicated_sharding(mesh))
-    logger.info(f"mesh: {mesh.shape} over {use_dev}/{n_dev} devices; batch {batch_size}")
+    if jax.process_count() > 1:
+        # multi-host: every process must join the (global) mesh with all of
+        # its local devices; `batch_size` is the PER-HOST batch (the loader
+        # shards the dataset by process) and must divide over local devices
+        n_local = jax.local_device_count()
+        if batch_size % n_local != 0:
+            raise ValueError(
+                f"samples_per_gpu={batch_size} must be divisible by the "
+                f"{n_local} local devices of each host"
+            )
+        mesh = create_mesh(jax.devices())
+        state = jax.device_put(state, replicated_sharding(mesh))
+        logger.info(
+            f"mesh: {mesh.shape} over {jax.process_count()} hosts; "
+            f"per-host batch {batch_size} (global {batch_size * jax.process_count()})"
+        )
+    else:
+        n_dev = len(jax.devices())
+        # the data mesh must divide the batch
+        use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+        mesh = create_mesh(jax.devices()[:use_dev])
+        state = jax.device_put(state, replicated_sharding(mesh))
+        logger.info(f"mesh: {mesh.shape} over {use_dev}/{n_dev} devices; batch {batch_size}")
 
     ckpt_cfg = cfg.get("checkpoint_config")
     ckpt = CheckpointManager(
@@ -164,7 +185,7 @@ def train_detector(
     loader = DataLoader(
         dataset,
         batch_size=batch_size,
-        shuffle=True,
+        shuffle=bool(cfg.data.get("shuffle", True)),
         num_workers=int(cfg.data.get("workers_per_gpu", 8)),
         seed=seed,
         shard_id=jax.process_index(),

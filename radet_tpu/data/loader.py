@@ -12,10 +12,13 @@ Worker modes:
   GIL for the heavy parts, zero startup cost;
 - ``'process'``: a spawned ProcessPoolExecutor (the torch num_workers
   analogue) for transform chains with real python-level work that the GIL
-  would serialize.  Each task is seeded deterministically from
-  (seed, epoch, index), so augmentation randomness is reproducible and
+  would serialize.  In process mode each task is seeded deterministically
+  from (seed, epoch, index), so augmentation randomness is reproducible and
   independent of worker count/scheduling — stronger than the reference's
-  pid-dependent per-worker seeding (builder.py:145-150).
+  pid-dependent per-worker seeding (builder.py:145-150).  Thread mode shares
+  the process-global numpy/python RNGs (global RNG state is per-process, not
+  per-thread), so its augmentation stream depends on scheduling; use process
+  mode when bitwise input reproducibility matters.
 
 The loader yields dicts of stacked numpy arrays; transfer to device (and
 across the mesh) is handled by the training loop via
@@ -185,13 +188,18 @@ class DataLoader:
             except BaseException as e:  # noqa: BLE001 - re-raised in consumer
                 error = e
             finally:
-                # non-blocking terminal put: if the consumer abandoned
-                # iteration and the queue refilled after its drain, a
-                # blocking put would hang here forever and leak the executor
-                try:
-                    out_q.put(error, timeout=1.0)  # None = clean end
-                except queue.Full:
-                    pass
+                # terminal put (None = clean end): must not be dropped — a
+                # consumer stalled >timeout on a batch (e.g. first-batch XLA
+                # compile) would otherwise wait forever for a lost sentinel.
+                # Retry until delivered; a consumer that abandoned iteration
+                # sets `stop`, which breaks the loop so the executor is not
+                # leaked.
+                while not stop.is_set():
+                    try:
+                        out_q.put(error, timeout=0.1)
+                        break
+                    except queue.Full:
+                        pass
                 executor.shutdown(wait=False, cancel_futures=True)
 
         thread = threading.Thread(target=producer, daemon=True)

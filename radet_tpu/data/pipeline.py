@@ -467,15 +467,23 @@ class PhotoMetricDistortion:
         contrast_last = random.random() < 0.5
         if not contrast_last and random.random() < 0.5:
             img *= random.uniform(self.contrast_lower, self.contrast_upper)
-        # float32 HSV: H in [0, 360), S in [0, 1], V keeps the input scale
-        hsv = cv2.cvtColor(img.clip(0, 255), cv2.COLOR_RGB2HSV)
-        if random.random() < 0.5:
-            hsv[..., 1] *= random.uniform(self.saturation_lower, self.saturation_upper)
-        if random.random() < 0.5:
-            hsv[..., 0] += random.uniform(-self.hue_delta, self.hue_delta)
-            hsv[..., 0] %= 360
-        hsv[..., 1] = hsv[..., 1].clip(0, 1)
-        img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+        # sample the HSV coins first: the reference only converts when an HSV
+        # op actually fires (transforms.py:855-874), so the no-op path must
+        # not pick up RGB->HSV->RGB roundtrip/clipping noise
+        sat = random.uniform(self.saturation_lower, self.saturation_upper) \
+            if random.random() < 0.5 else None
+        hue = random.uniform(-self.hue_delta, self.hue_delta) \
+            if random.random() < 0.5 else None
+        if sat is not None or hue is not None:
+            # float32 HSV: H in [0,360), S in [0,1], V keeps the input scale
+            hsv = cv2.cvtColor(img.clip(0, 255), cv2.COLOR_RGB2HSV)
+            if sat is not None:
+                hsv[..., 1] *= sat
+            if hue is not None:
+                hsv[..., 0] += hue
+                hsv[..., 0] %= 360
+            hsv[..., 1] = hsv[..., 1].clip(0, 1)
+            img = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
         if contrast_last and random.random() < 0.5:
             img *= random.uniform(self.contrast_lower, self.contrast_upper)
         if random.random() < 0.5:

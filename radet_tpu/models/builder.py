@@ -29,6 +29,8 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         dtype = _DTYPES[dtype]
     btype = backbone.get("type", "ResNet")
     assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), f"unknown backbone type {btype}"
+    ntype = neck.get("type", "FPN")
+    assert ntype in ("FPN", "ChannelMapper"), f"unknown neck type {ntype}"
     v1d = btype == "ResNetV1d"
     return RADet(
         num_classes=head["num_classes"],
@@ -41,6 +43,9 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),
+        neck_type=ntype,
+        neck_kernel_size=neck.get("kernel_size", 3),
+        neck_with_relu=neck.get("act_cfg", {"type": "ReLU"}) is not None,
         fpn_add_extra_convs=neck.get("add_extra_convs", "on_output"),
         fpn_relu_before_extra_convs=neck.get("relu_before_extra_convs", False),
         fpn_out_channels=neck.get("out_channels", 256),

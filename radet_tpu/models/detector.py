@@ -13,7 +13,7 @@ from typing import Any, List, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .fpn import FPN
+from .fpn import FPN, ChannelMapper
 from .radet_head import RADetHead
 from .resnet import ResNet
 
@@ -42,6 +42,9 @@ class RADet(nn.Module):
     deep_stem: bool = False  # ResNetV1d
     avg_down: bool = False
     stem_s2d: bool = False  # space-to-depth stem (resnet.StemConvS2D)
+    neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
+    neck_kernel_size: int = 3  # ChannelMapper only
+    neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
     fpn_add_extra_convs: str = "on_output"
     fpn_relu_before_extra_convs: bool = False
     fpn_out_channels: int = 256
@@ -65,21 +68,39 @@ class RADet(nn.Module):
             dtype=self.dtype,
             name="backbone",
         )
-        self.neck = FPN(
-            out_channels=self.fpn_out_channels,
-            num_outs=self.fpn_num_outs,
-            start_level=self.fpn_start_level,
-            add_extra_convs=self.fpn_add_extra_convs,
-            relu_before_extra_convs=self.fpn_relu_before_extra_convs,
-            dtype=self.dtype,
-            name="neck",
-        )
+        if self.neck_type == "FPN":
+            self.neck = FPN(
+                out_channels=self.fpn_out_channels,
+                num_outs=self.fpn_num_outs,
+                start_level=self.fpn_start_level,
+                add_extra_convs=self.fpn_add_extra_convs,
+                relu_before_extra_convs=self.fpn_relu_before_extra_convs,
+                dtype=self.dtype,
+                name="neck",
+            )
+            head_levels = self.fpn_num_outs
+        elif self.neck_type == "ChannelMapper":
+            # maps every backbone output 1:1 (reference channel_mapper.py:8-80
+            # has no top-down path / extra levels)
+            self.neck = ChannelMapper(
+                out_channels=self.fpn_out_channels,
+                kernel_size=self.neck_kernel_size,
+                with_relu=self.neck_with_relu,
+                dtype=self.dtype,
+                name="neck",
+            )
+            head_levels = len(self.out_indices)
+        else:
+            raise ValueError(
+                f"unsupported neck_type={self.neck_type!r} "
+                "(expected 'FPN' or 'ChannelMapper')"
+            )
         self.bbox_head = RADetHead(
             num_classes=self.num_classes,
             in_channels=self.fpn_out_channels,
             feat_channels=self.feat_channels,
             stacked_convs=self.stacked_convs,
-            num_levels=self.fpn_num_outs,
+            num_levels=head_levels,
             dtype=self.dtype,
             name="bbox_head",
         )

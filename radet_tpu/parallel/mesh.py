@@ -37,6 +37,22 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis_name: str = "data"):
-    """device_put a host batch with the leading axis sharded over the mesh."""
+    """device_put a host batch with the leading axis sharded over the mesh.
+
+    Single-process: a plain sharded ``device_put``.  Multi-process (a mesh
+    spanning hosts): each host holds only ITS shard of the global batch (the
+    per-host loader stride, data/loader.py), so the global array is assembled
+    from process-local data — the jax-native analogue of DDP's
+    one-rank-one-shard contract (reference apis/train.py:73-84).  The global
+    batch axis is then ``per_host_batch * num_participating_hosts``.
+    """
     sharding = batch_sharding(mesh, axis_name)
+    local = {d.process_index for d in mesh.devices.flat}
+    if local != {jax.process_index()}:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.device_put(batch, sharding)

@@ -17,7 +17,12 @@ TINY_INPUT = (128, 160)
 DEFAULT_BACKBONE = 'dict(depth=18, out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True)'
 
 
-def _write_tiny_cfg(tmp_path, bop_root, max_iters=3, backbone=DEFAULT_BACKBONE):
+DEFAULT_OPTIMIZER = 'dict(type="adamw", lr=1e-3, betas=(0.9, 0.999), weight_decay=0.05, eps=1e-8)'
+DEFAULT_LR = 'dict(policy="onecycle", max_lr=1e-3, total_steps=100, pct_start=0.05)'
+
+
+def _write_tiny_cfg(tmp_path, bop_root, max_iters=3, backbone=DEFAULT_BACKBONE,
+                    optimizer=DEFAULT_OPTIMIZER, lr_config=DEFAULT_LR):
     cfg_path = tmp_path / "tiny_cfg.py"
     cfg_path.write_text(
         f"""
@@ -56,8 +61,8 @@ test_cfg = dict(
              vote_score=["iou", "cls"], iou_enable=False, sigma=0.025),
 )
 label_assignment = dict(neg_threshold=0.2, positive_num=10, balance_sample=True, max_gt=8)
-optimizer = dict(type="adamw", lr=1e-3, betas=(0.9, 0.999), weight_decay=0.05, eps=1e-8)
-lr_config = dict(policy="onecycle", max_lr=1e-3, total_steps=100, pct_start=0.05)
+optimizer = {optimizer}
+lr_config = {lr_config}
 runner = dict(max_iters={max_iters})
 checkpoint_config = dict(interval=1000, max_to_keep=1)
 evaluation = dict(interval=0)
@@ -205,3 +210,29 @@ def test_variant_backbone_end_to_end(tmp_path, bop_root, backbone):
         cfg, variables, split="test", batch_size=2
     )
     assert len(results) == len(dataset)
+
+
+def test_train_with_sgd_config(tmp_path, bop_root):
+    """VERDICT r2 item 8: a config with type='SGD' (+momentum/nesterov,
+    step LR policy) trains through the same entry point."""
+    from radet_tpu.apis.train import train_detector
+    from radet_tpu.utils import Config
+
+    cfg = Config.fromfile(
+        _write_tiny_cfg(
+            tmp_path,
+            bop_root,
+            max_iters=2,
+            optimizer='dict(type="SGD", lr=1e-3, momentum=0.9, nesterov=True, '
+                      'weight_decay=1e-4, paramwise_cfg=dict(custom_keys='
+                      '{"backbone": dict(lr_mult=0.1)}))',
+            lr_config='dict(policy="step", step=[1], gamma=0.5, '
+                      'warmup="linear", warmup_iters=1, warmup_ratio=0.5)',
+        )
+    )
+    state = train_detector(
+        cfg, work_dir=str(tmp_path / "work_sgd"), eval_during_train=False
+    )
+    assert int(state.step) == 2
+    leaves = jax.tree.leaves(jax.device_get(state.params))
+    assert all(np.isfinite(l).all() for l in leaves)

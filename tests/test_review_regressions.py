@@ -142,3 +142,79 @@ def test_frozen_mask_covers_v1d_deep_stem():
     assert not any(flat[k] for k in stem_keys), "deep stem must be frozen"
     assert not any(flat[k] for k in layer1_keys), "layer1 must be frozen"
     assert all(flat[k] for k in layer2_keys), "layer2 must stay trainable"
+
+
+def test_loader_sentinel_survives_stalled_consumer():
+    """Advisor r2 (high): terminal sentinel must not be dropped when the
+    consumer stalls longer than the put timeout while the queue is full
+    (e.g. first-batch XLA compile during eval) — iteration used to hang."""
+    import time
+
+    from radet_tpu.data.loader import DataLoader
+
+    class Tiny:
+        def __len__(self):
+            return 6
+
+        def __getitem__(self, i):
+            return {"x": np.full(2, i, np.float32)}
+
+    loader = DataLoader(
+        Tiny(), batch_size=2, shuffle=False, num_workers=2, prefetch_batches=1
+    )
+    got = []
+    deadline = time.monotonic() + 30.0
+    for batch in loader:
+        if not got:
+            time.sleep(3.0)  # stall past the old 1 s sentinel timeout
+        got.append(batch)
+        assert time.monotonic() < deadline, "loader iteration hung"
+    assert len(got) == 3
+
+
+def test_builder_rejects_unknown_neck_and_builds_channel_mapper():
+    """Advisor r2 (medium): neck type is validated; ChannelMapper configs
+    actually build a ChannelMapper (not a silent FPN)."""
+    import jax
+
+    from radet_tpu.models.builder import build_detector
+    from radet_tpu.models.fpn import ChannelMapper
+
+    cfg = dict(
+        type="RADet",
+        backbone=dict(depth=18, out_indices=(1, 2, 3)),
+        neck=dict(type="ChannelMapper", out_channels=32),
+        bbox_head=dict(num_classes=3, feat_channels=32, stacked_convs=1),
+    )
+    model = build_detector(cfg)
+    assert model.neck_type == "ChannelMapper"
+    variables = model.init(
+        jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3), np.float32)
+    )
+    cls, reg, iou = model.apply(variables, np.zeros((1, 64, 64, 3), np.float32))
+    assert len(cls) == 3  # one level per backbone output, no extra levels
+    bound = model.bind(variables)
+    assert isinstance(bound.neck, ChannelMapper)
+
+    with pytest.raises(AssertionError, match="neck type"):
+        build_detector(
+            dict(
+                type="RADet",
+                backbone=dict(depth=18),
+                neck=dict(type="NASFPN"),
+                bbox_head=dict(num_classes=3),
+            )
+        )
+
+
+def test_photometric_distortion_noop_is_bitwise_identity(monkeypatch):
+    """Advisor r2 (low): when no op fires, the image must pass through
+    bitwise-unchanged (no HSV roundtrip / clipping noise)."""
+    import random as pyrandom
+
+    from radet_tpu.data.pipeline import PhotoMetricDistortion
+
+    monkeypatch.setattr(pyrandom, "random", lambda: 0.99)  # every coin misses
+    img = np.random.RandomState(0).randint(0, 256, (32, 48, 3), np.uint8)
+    out = PhotoMetricDistortion()({"img": img.copy()})["img"]
+    np.testing.assert_array_equal(out, img)
