@@ -13,13 +13,36 @@ from ..data.bop import BOPDataset
 from ..models.builder import build_detector
 
 
+def assignment_cfg_from(cfg) -> Dict | None:
+    """Label-assignment params: ``cfg.label_assignment`` when present, else
+    the params of a verbatim reference in-pipeline ``LabelAssignment`` entry
+    (configs/base/datasets/bop_detection.py:21-33) from the train pipeline."""
+    la = cfg.get("label_assignment")
+    if la is not None:
+        return la.to_dict() if hasattr(la, "to_dict") else dict(la)
+    try:
+        pipe = cfg.data["train"]["pipeline"]
+    except (KeyError, TypeError, AttributeError):
+        return None
+    from ..data.pipeline import extract_label_assignment
+
+    return extract_label_assignment(list(pipe or []))
+
+
 def anchor_cfg_from_model(model_cfg: Dict, label_assignment_cfg: Dict | None = None) -> AnchorConfig:
     head = model_cfg.get("bbox_head", {})
     agen = dict(head.get("anchor_generator", {}))
-    # per-level regress ranges live with the assignment config (reference
-    # LabelAssignment ctor, label_assignment.py:30-40)
-    if label_assignment_cfg and "regress_ranges" in label_assignment_cfg:
-        agen["regress_ranges"] = label_assignment_cfg["regress_ranges"]
+    if label_assignment_cfg:
+        # a verbatim reference pipeline LabelAssignment carries its own
+        # anchor_generator_cfg (bop_detection.py:22-29) — fill in anything
+        # the head config doesn't specify
+        for k, v in dict(label_assignment_cfg.get("anchor_generator_cfg") or {}).items():
+            if k != "type":
+                agen.setdefault(k, v)
+        # per-level regress ranges live with the assignment config (reference
+        # LabelAssignment ctor, label_assignment.py:30-40)
+        if "regress_ranges" in label_assignment_cfg:
+            agen["regress_ranges"] = label_assignment_cfg["regress_ranges"]
     return AnchorConfig.from_cfg(agen)
 
 
@@ -28,10 +51,8 @@ def build_model_and_anchors(cfg) -> Tuple[Any, np.ndarray, np.ndarray, list]:
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
     model = build_detector(model_cfg, dtype=cfg.get("compute_dtype", "float32"))
     input_size = tuple(cfg.get("input_size", (480, 640)))
-    la = cfg.get("label_assignment")
-    la = la.to_dict() if hasattr(la, "to_dict") else la
     anchors, ranges, strides, counts = generate_anchors(
-        input_size, anchor_cfg_from_model(model_cfg, la)
+        input_size, anchor_cfg_from_model(model_cfg, assignment_cfg_from(cfg))
     )
     return model, anchors, ranges, counts
 
@@ -81,9 +102,10 @@ def build_dataset(cfg, split: str, test_mode: bool | None = None):
 def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
     """``input_size`` overrides cfg.input_size (used by multi-scale TTA views,
     where every scale needs its own static padded resolution)."""
-    la_cfg = cfg.get("label_assignment")
+    la_cfg = assignment_cfg_from(cfg)
     max_gt = int(la_cfg.get("max_gt", 32)) if la_cfg is not None else 32
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    img_norm = cfg.get("img_norm_cfg")
     return BOPDataset(
         ann_file=data_cfg["ann_file"],
         img_prefix=data_cfg.get("img_prefix", ""),
@@ -95,9 +117,8 @@ def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
         bop_submission=data_cfg.get("bop_submission", False),
         input_size=tuple(input_size or cfg.get("input_size", (480, 640))),
         max_gt=max_gt,
-        anchor_cfg=anchor_cfg_from_model(
-            model_cfg, la_cfg.to_dict() if la_cfg is not None else None
-        ),
+        anchor_cfg=anchor_cfg_from_model(model_cfg, la_cfg),
+        img_norm=img_norm.to_dict() if img_norm is not None else None,
     )
 
 

@@ -25,6 +25,7 @@ from ..engine.train_step import TrainState, build_train_step
 from ..parallel.mesh import create_mesh, replicated_sharding, shard_batch
 from ..utils.logging import get_root_logger
 from .common import (
+    assignment_cfg_from,
     build_dataset,
     build_model_and_anchors,
     init_variables,
@@ -153,9 +154,7 @@ def train_detector(
         ranges,
         img_norm=cfg.img_norm_cfg.to_dict(),
         num_classes=int(cfg.model.bbox_head.num_classes),
-        assignment_cfg=cfg.get("label_assignment").to_dict()
-        if cfg.get("label_assignment") is not None
-        else None,
+        assignment_cfg=assignment_cfg_from(cfg),
         normalizer=normalizer_from_cfg(cfg),
     )
 

@@ -48,6 +48,7 @@ class BOPDataset:
         input_size: Tuple[int, int] = (480, 640),
         max_gt: int = 32,
         anchor_cfg: Optional[AnchorConfig] = None,
+        img_norm: Optional[dict] = None,
     ):
         self.ann_file = ann_file
         self.img_prefix = img_prefix
@@ -85,6 +86,7 @@ class BOPDataset:
                 input_size=self.input_size,
                 anchor_centers=self._anchor_centers,
                 max_gt=max_gt,
+                img_norm=img_norm,
             )
         else:
             self.pipeline = None

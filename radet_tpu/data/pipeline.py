@@ -903,23 +903,79 @@ class Compose:
         return results
 
 
+def extract_label_assignment(pipeline_cfg: Sequence[dict]) -> Optional[dict]:
+    """Return the params of a reference in-pipeline ``LabelAssignment`` entry
+    (/root/reference/configs/base/datasets/bop_detection.py:21-33), if any —
+    this build runs assignment on-device inside the jitted train step, so the
+    pipeline entry is absorbed and its params surface through the config
+    (apis.common.assignment_cfg_from)."""
+    for t_cfg in pipeline_cfg or []:
+        if isinstance(t_cfg, dict) and t_cfg.get("type") == "LabelAssignment":
+            out = dict(t_cfg)
+            out.pop("type")
+            return out
+    return None
+
+
 def build_pipeline(
     pipeline_cfg: Sequence[dict],
     *,
     input_size: Tuple[int, int] | None = None,
     anchor_centers: np.ndarray | None = None,
     max_gt: int = 32,
+    img_norm: Optional[dict] = None,
 ) -> Compose:
     """Build a Compose from reference-style pipeline config dicts.
 
     ``Pad`` entries are upgraded to pad to the static ``input_size`` (their
     size_divisor is validated against it); ``SampleDistanceAtAnchors`` gets
     the precomputed anchor centers injected.
+
+    Verbatim REFERENCE pipeline sections load unmodified
+    (/root/reference/configs/base/datasets/bop_detection.py:5-52): entries
+    whose job moved into the architecture are absorbed —
+
+    - ``Normalize`` — normalization runs on device (preprocess_images) so
+      host->device transfers stay uint8; values are validated against
+      ``img_norm`` when provided, and ``to_rgb=False`` is rejected (images
+      are decoded RGB here);
+    - ``DefaultFormatBundle`` / ``Collect`` / ``ImageToTensor`` /
+      ``ToTensor`` — DataContainer formatting is replaced by static numpy
+      collate (data/loader.py);
+    - ``LabelAssignment`` — assignment runs inside the jitted train step;
+      the entry becomes the ``SampleDistanceAtAnchors`` host op that feeds
+      it (its params are read by apis.common.assignment_cfg_from);
+    - ``MultiScaleFlipAug`` with one scale and ``flip=False`` (the
+      reference test config) — unwrapped inline, injecting ``img_scale``
+      into the inner ``Resize``; true multi-scale/flip TTA must use the
+      ``tta`` config (apis/test.py) instead.
     """
     ts = []
-    for t_cfg in pipeline_cfg:
+
+    def _absorb(t_type: str, t_cfg: dict) -> bool:
+        if t_type == "Normalize":
+            if img_norm is not None:
+                want = (tuple(img_norm["mean"]), tuple(img_norm["std"]))
+                got = (tuple(t_cfg.get("mean", want[0])), tuple(t_cfg.get("std", want[1])))
+                if not np.allclose(want, got):
+                    raise ValueError(
+                        f"pipeline Normalize {got} disagrees with img_norm_cfg "
+                        f"{want}; on-device normalization uses img_norm_cfg"
+                    )
+            if not t_cfg.get("to_rgb", True):
+                raise ValueError(
+                    "Normalize(to_rgb=False) unsupported: images are decoded RGB"
+                )
+            return True
+        if t_type in ("DefaultFormatBundle", "Collect", "ImageToTensor", "ToTensor"):
+            return True
+        return False
+
+    def _add(t_cfg: dict):
         t_cfg = dict(t_cfg)
         t_type = t_cfg.pop("type")
+        if _absorb(t_type, t_cfg):
+            return
         if t_type == "Pad" and input_size is not None:
             d = t_cfg.pop("size_divisor", None)
             if d is not None:
@@ -927,12 +983,35 @@ def build_pipeline(
                     f"static input_size {input_size} not divisible by {d}"
                 )
             ts.append(Pad(size=input_size))
-            continue
-        if t_type == "SampleDistanceAtAnchors":
+            return
+        if t_type in ("SampleDistanceAtAnchors", "LabelAssignment"):
             assert anchor_centers is not None, "anchor_centers required"
+            if any(isinstance(t, SampleDistanceAtAnchors) for t in ts):
+                return  # already injected (explicit entry + LabelAssignment)
             ts.append(SampleDistanceAtAnchors(anchor_centers, max_gt=max_gt))
-            continue
+            return
+        if t_type == "MultiScaleFlipAug":
+            scales = t_cfg.get("img_scale")
+            scales = scales if isinstance(scales, list) else [scales]
+            if len(scales) != 1 or t_cfg.get("flip", False):
+                raise ValueError(
+                    "MultiScaleFlipAug with multiple scales or flip=True is "
+                    "test-time augmentation: configure it via the `tta` "
+                    "config section (apis/test.py run_tta_inference)"
+                )
+            for inner in t_cfg.get("transforms", []):
+                inner = dict(inner)
+                it = inner.get("type")
+                if it == "Resize" and "img_scale" not in inner:
+                    inner["img_scale"] = tuple(scales[0])
+                if it == "RandomFlip":
+                    continue  # flip=False: the reference applies it disabled
+                _add(inner)
+            return
         if t_type not in _TRANSFORMS:
             raise KeyError(f"unknown transform {t_type}")
         ts.append(_TRANSFORMS[t_type](**t_cfg))
+
+    for t_cfg in pipeline_cfg:
+        _add(t_cfg)
     return Compose(ts)
