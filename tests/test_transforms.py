@@ -314,3 +314,69 @@ def test_all_new_transforms_buildable_from_config():
     if out is not None:
         assert out["img"].dtype == np.uint8
         assert len(out["gt_bboxes"]) == len(out["gt_labels"])
+
+
+class TestCosyPoseNumpyParity:
+    """The vectorized CosyPose enhance ops must match PIL's ImageEnhance
+    exactly (<=1 LSB rounding) — they replaced a PIL chain measured at 51%
+    of host pipeline time (VERDICT r2 item 2)."""
+
+    def _img(self, seed=0, hw=(63, 97)):
+        return np.random.RandomState(seed).randint(0, 256, (*hw, 3), np.uint8)
+
+    @pytest.mark.parametrize("name,factors", [
+        ("Brightness", [0.1, 0.7, 1.0, 2.5, 6.0]),
+        ("Contrast", [0.2, 0.9, 1.0, 5.0, 50.0]),
+        ("Color", [0.0, 0.4, 1.0, 3.0, 20.0]),
+        ("Sharpness", [0.0, 0.5, 1.0, 10.0, 50.0]),
+    ])
+    def test_enhance_matches_pil(self, name, factors):
+        from PIL import Image, ImageEnhance
+
+        from radet_tpu.data.pipeline import _NpEnhance
+
+        img = self._img()
+        for f in factors:
+            want = np.asarray(
+                getattr(ImageEnhance, name)(Image.fromarray(img)).enhance(f)
+            )
+            op = _NpEnhance(name, p=1.0, factor_interval=(f, f))
+            got = op._apply(img, f)
+            diff = np.abs(want.astype(np.int32) - got.astype(np.int32))
+            assert diff.max() <= 1, (name, f, diff.max(), (diff > 1).mean())
+
+    def test_gaussian_blur_close_to_pil(self):
+        """cv2 gaussian at sigma=k vs PIL GaussianBlur(radius=k): same
+        smoothing scale (mean abs diff a few intensities on noise)."""
+        from PIL import Image, ImageFilter
+
+        from radet_tpu.data.pipeline import PillowBlur
+        import random as pyrandom
+
+        img = self._img(1, (120, 160))
+        for k in (1, 2, 3):
+            want = np.asarray(
+                Image.fromarray(img).filter(ImageFilter.GaussianBlur(k))
+            ).astype(np.float32)
+            op = PillowBlur(p=1.0, factor_interval=(k, k))
+            pyrandom.seed(0)
+            got = op(img).astype(np.float32)
+            interior = (slice(3 * k, -3 * k), slice(3 * k, -3 * k))
+            assert np.abs(want[interior] - got[interior]).mean() < 3.0, k
+
+    def test_chain_runs_and_changes_image(self):
+        from radet_tpu.data.pipeline import CosyPoseAug
+        import random as pyrandom
+
+        aug = CosyPoseAug(p=1.0, pipelines=[
+            dict(type="PillowBlur", p=1.0, factor_interval=(1, 3)),
+            dict(type="PillowSharpness", p=1.0, factor_interval=(0.0, 50.0)),
+            dict(type="PillowContrast", p=1.0, factor_interval=(0.2, 50.0)),
+            dict(type="PillowBrightness", p=1.0, factor_interval=(0.1, 6.0)),
+            dict(type="PillowColor", p=1.0, factor_interval=(0.0, 20.0)),
+        ])
+        pyrandom.seed(3)
+        img = self._img(2)
+        out = aug({"img": img.copy()})["img"]
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img)
