@@ -120,8 +120,8 @@ def main():
                 # first compile takes ~10 min through the axon tunnel.
                 # Re-run tools/profile_train.py to refresh.
                 train_measured=dict(
-                    img_s=348.7, step_ms=45.88, mfu=0.593,
-                    asof="2026-08-17 round 2",
+                    img_s=364.7, step_ms=43.88, mfu=0.621,
+                    asof="2026-08-17 round 3",
                 ),
                 provenance=(
                     "value = device-pipeline throughput (inputs staged on device; "

@@ -14,8 +14,16 @@ Semantics preserved (with file:line refs into label_assignment.py):
 
 - candidacy: anchor center strictly inside the GT box (min TBLR side > 0.01)
   and max TBLR side within the level's regress range (:57-76);
-- GTs processed smallest-area first; in ``min_area`` mode a later (larger) GT
-  only sees anchors not yet claimed (claimed = positive or ignore) (:169-179);
+- ambiguity resolution (default, vectorized): each anchor belongs exclusively
+  to its smallest-area candidate GT (``min_area``) or its highest-distance
+  candidate GT (``max_dis``) — the reference's own vectorized spec
+  (``LabelAssignmentParallel``, label_assignment.py:322-333).  Candidate sets
+  become disjoint (one-hot per anchor), so every GT samples independently in
+  one batched pass — no sequential claim loop on the accelerator.
+  ``impl='scan'`` retains the original sequential smallest-area-first claim
+  semantics (:169-179) for differential testing; the two differ only for
+  anchors that are *sub-threshold* candidates of a smaller GT (sequential
+  leaves them claimable by a larger GT, vectorized does not);
 - per GT: candidates with prob <= neg_threshold * max-prob stay negative
   (:98-100); among the rest, ``positive_num`` cells are sampled WITHOUT
   replacement proportional to prob when the pool is large enough, else (with
@@ -81,6 +89,49 @@ def _adaptive_k(anchor_sizes, candidates, object_size, positive_num):
     return jnp.asarray(positive_num * dk + 0.5, jnp.int32)
 
 
+def _gt_logits_scores(key, probs, pool, by_distance):
+    """Per-GT masked sampling logits + Gumbel-perturbed scores.
+
+    Returns (k_with, logits, scores): the with-replacement subkey and the
+    (N,) arrays the top-k/count stage consumes."""
+    if by_distance:
+        logits = jnp.where(pool, jnp.log(jnp.maximum(probs, EPS)), NEG_INF)
+    else:
+        # uniform over the pool (random_sample_by_distance=False,
+        # label_assignment.py:113-114,120-121)
+        logits = jnp.where(pool, 0.0, NEG_INF)
+    k_with, k_without = jax.random.split(key)
+    gumbel = jax.random.gumbel(k_without, logits.shape)
+    scores = jnp.where(pool, logits + gumbel, NEG_INF)
+    return k_with, logits, scores
+
+
+def _topk_last(scores, cap):
+    """Exact top-cap (values, indices) over the last axis by cap fused
+    max+argmax extraction passes — NOT lax.top_k/approx_max_k, which XLA
+    compiles to a full variadic (values, iota) sort on TPU here: a 6400-wide
+    bitonic sort is ~170 VMEM passes and measured 1.76 ms/step at
+    (B=16, G=32); cap=10 extraction passes are ~an order of magnitude less
+    traffic.  Masking the extracted element BY INDEX (argmax = first
+    maximum) makes this exactly lax.top_k's stable tie order."""
+    n = scores.shape[-1]
+    lead = scores.shape[:-1]
+
+    def body(i, carry):
+        s, vals, idxs = carry
+        m = s.max(axis=-1)
+        am = jnp.argmax(s, axis=-1).astype(jnp.int32)
+        vals = vals.at[..., i].set(m)
+        idxs = idxs.at[..., i].set(am)
+        s = jnp.where(jnp.arange(n) == am[..., None], NEG_INF, s)
+        return s, vals, idxs
+
+    vals0 = jnp.full(lead + (cap,), NEG_INF, scores.dtype)
+    idxs0 = jnp.zeros(lead + (cap,), jnp.int32)
+    _, vals, idxs = jax.lax.fori_loop(0, cap, body, (scores, vals0, idxs0))
+    return vals, idxs
+
+
 def _sample_one_gt(
     key,
     probs,
@@ -99,27 +150,30 @@ def _sample_one_gt(
     Returns counts (N,) float32 — sample multiplicity (with-replacement
     branch) or 0/1 (without-replacement branch).
     """
-    n_pool = pool.sum()
-    if by_distance:
-        logits = jnp.where(pool, jnp.log(jnp.maximum(probs, EPS)), NEG_INF)
-    else:
-        # uniform over the pool (random_sample_by_distance=False,
-        # label_assignment.py:113-114,120-121)
-        logits = jnp.where(pool, 0.0, NEG_INF)
+    k_with, logits, scores = _gt_logits_scores(key, probs, pool, by_distance)
+    # WITHOUT replacement ∝ probs is Gumbel top-k (sort-free, see _topk_last)
+    top_vals, top_idx = _topk_last(scores, cap)
+    return _counts_from_topk(
+        k_with, logits, scores, top_vals, top_idx, pool, k, cap, balance_sample
+    )
 
-    k_with, k_without = jax.random.split(key)
-    # WITH replacement: k categorical draws; multiplicity = weight
-    draws = jax.random.categorical(k_with, logits, shape=(cap,))
-    draw_live = (jnp.arange(cap) < k).astype(jnp.float32)
-    counts_with = (
-        jax.nn.one_hot(draws, logits.shape[0], dtype=jnp.float32)
-        * draw_live[:, None]
-    ).sum(0)
-    # WITHOUT replacement ∝ probs: Gumbel top-k
-    gumbel = jax.random.gumbel(k_without, logits.shape)
-    scores = jnp.where(pool, logits + gumbel, NEG_INF)
-    sorted_scores = jax.lax.top_k(scores, cap)[0]
-    kth = jax.lax.dynamic_slice(sorted_scores, (jnp.clip(k - 1, 0),), (1,))[0]
+
+def _counts_from_topk(
+    k_with, logits, scores, top_vals, top_idx, pool, k, cap, balance_sample
+):
+    """Turn per-GT top-k slots into sample counts (shared by the scan path
+    and the batched vectorized path, which hoists the top-k itself out of
+    the per-GT vmap so it runs once on the (G, N) score matrix)."""
+    n = pool.shape[0]
+    n_pool = pool.sum()
+    # kth-largest via one-hot contraction (vmapped dynamic_slice lowers to a
+    # latency-bound gather)
+    kth = jnp.einsum(
+        "d,d->",
+        top_vals,
+        jax.nn.one_hot(jnp.clip(k - 1, 0), cap, dtype=top_vals.dtype),
+        precision=jax.lax.Precision.HIGHEST,  # bf16 MXU rounding would move the kth threshold
+    )
     counts_without = (scores >= kth).astype(jnp.float32)
     # guard: if pool smaller than k the top-k picks everything valid
     counts_without = counts_without * pool.astype(jnp.float32)
@@ -129,7 +183,123 @@ def _sample_one_gt(
         # without balance_sample a too-small pool is taken wholesale, weight 1
         # (label_assignment.py:115-116)
         counts_with = pool.astype(jnp.float32)
+    else:
+        # WITH replacement: k categorical draws, multiplicity = weight.  This
+        # branch only wins when the pool has FEWER than k members, so every
+        # pool member already sits in the top-cap slots — sample over the cap
+        # slot logits instead of all N anchors (the full-width categorical
+        # generates cap×N gumbels; at (B=16, G=32) that was ~33M extra
+        # random draws per step).  All selection matrices are one-hot
+        # contractions built tile-locally inside the einsum (docs/DESIGN.md §8).
+        slot_onehot = (top_idx[:, None] == jnp.arange(n)[None, :]).astype(
+            jnp.float32
+        )  # (cap, N)
+        slot_logits = jnp.einsum(
+            "cn,n->c", slot_onehot, logits, precision=jax.lax.Precision.HIGHEST
+        )
+        slot_live = top_vals > NEG_INF * 0.5  # pool members among the slots
+        slot_logits = jnp.where(slot_live, slot_logits, NEG_INF)
+        draws = jax.random.categorical(k_with, slot_logits, shape=(cap,))
+        draw_live = (jnp.arange(cap) < k).astype(jnp.float32)
+        slot_counts = jnp.einsum(
+            "dc,d->c", jax.nn.one_hot(draws, cap, dtype=jnp.float32), draw_live
+        )
+        counts_with = jnp.einsum("c,cn->n", slot_counts, slot_onehot)
     return jnp.where(pool_small, counts_with, counts_without)
+
+
+def _resolve_ambiguity(cand, dist_vals, areas, ambiguous_sample):
+    """Make candidate sets disjoint: one GT per anchor (one-hot columns).
+
+    ``min_area``: argmin-area candidate GT per anchor (the reference's
+    vectorized spec, label_assignment.py:328-333).  ``max_dis``: argmax
+    distance-value candidate GT (:158-161, restricted to candidates — the
+    reference's parallel variant omits the candidate mask in its argmax,
+    :323-325, which we treat as a bug and do not reproduce)."""
+    g = cand.shape[1]
+    if ambiguous_sample == "max_dis":
+        score = jnp.where(cand, dist_vals, -jnp.inf)
+        best = jnp.argmax(score, axis=1)
+    else:  # min_area
+        score = jnp.where(cand, areas[None, :], jnp.inf)
+        best = jnp.argmin(score, axis=1)
+    return cand & (best[:, None] == jnp.arange(g)[None, :])
+
+
+def _assign_vectorized(
+    key,
+    anchors,
+    regress_ranges,
+    gt_boxes,
+    gt_valid,
+    dist_vals,
+    positive_num,
+    neg_threshold,
+    balance_sample,
+    adapt_positive_num,
+    random_sample_by_distance,
+    multiply_samplepro_for_weight,
+    ambiguous_sample,
+):
+    """One batched pass over all GTs (candidate sets are disjoint after
+    `_resolve_ambiguity`, so per-GT sampling is independent).  Shares
+    `_sample_one_gt` (vmapped) and the per-GT key split with the scan path,
+    so both agree bitwise whenever their per-GT pools coincide."""
+    n = anchors.shape[0]
+    g = gt_boxes.shape[0]
+
+    cand = candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid)  # (N, G)
+    areas = jnp.where(
+        gt_valid,
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
+        jnp.inf,
+    )
+    cand = _resolve_ambiguity(cand, dist_vals, areas, ambiguous_sample)
+
+    p = jnp.where(cand, jnp.clip(dist_vals, EPS), 0.0)  # (N, G)
+    pmax = p.max(axis=0)  # (G,)
+    pool = cand & (p > neg_threshold * pmax[None, :])  # (N, G)
+    has_pool = pool.any(axis=0)  # (G,)
+
+    k_cap = positive_num * 4 if adapt_positive_num else positive_num
+    if adapt_positive_num:
+        anchor_sizes = anchors[:, 2] - anchors[:, 0]
+        obj_size = jnp.maximum(
+            gt_boxes[:, 2] - gt_boxes[:, 0], gt_boxes[:, 3] - gt_boxes[:, 1]
+        )
+        k = jax.vmap(
+            lambda c, s: _adaptive_k(anchor_sizes, c, s, positive_num)
+        )(cand.T, obj_size)
+        k = jnp.clip(k, 1, k_cap)
+    else:
+        k = jnp.full((g,), positive_num, jnp.int32)
+
+    gt_keys = jax.random.split(key, g)
+    # Stage 1 (per-GT, vmapped): masked logits + Gumbel scores.
+    k_withs, logits_t, scores_t = jax.vmap(
+        lambda kk, pp, pl: _gt_logits_scores(kk, pp, pl, random_sample_by_distance)
+    )(gt_keys, p.T, pool.T)
+    # Stage 2: ONE batched sort-free top-k on the (G, N) score matrix.
+    top_vals, top_idx = _topk_last(scores_t, k_cap)
+    # Stage 3 (per-GT, vmapped): slot sampling / threshold counts.
+    counts = jax.vmap(
+        lambda kw, lg, sc, tv, ti, pl, kg: _counts_from_topk(
+            kw, lg, sc, tv, ti, pl, kg, k_cap, balance_sample
+        )
+    )(k_withs, logits_t, scores_t, top_vals, top_idx, pool.T, k)  # (G, N)
+    if multiply_samplepro_for_weight:
+        counts = counts * p.T
+    counts = jnp.where(has_pool[:, None], counts, 0.0)
+
+    pos = counts > 0  # (G, N): at most one True per column (disjoint sets)
+    pos_any = pos.any(axis=0)
+    gt_pos = jnp.argmax(pos, axis=0)
+    weight_pos = counts.sum(axis=0)
+    untouched = (pool.T & ~pos).any(axis=0)
+
+    gt_idx = jnp.where(pos_any, gt_pos, jnp.where(untouched, -2, -1))
+    weight = jnp.where(pos_any, weight_pos, jnp.where(untouched, 0.0, 1.0))
+    return AssignResult(gt_idx=gt_idx.astype(jnp.int32), weight=weight)
 
 
 @functools.partial(
@@ -142,6 +312,7 @@ def _sample_one_gt(
         "random_sample_by_distance",
         "multiply_samplepro_for_weight",
         "ambiguous_sample",
+        "impl",
     ),
 )
 def assign_labels(
@@ -159,6 +330,7 @@ def assign_labels(
     random_sample_by_distance: bool = True,
     multiply_samplepro_for_weight: bool = False,
     ambiguous_sample: str = "min_area",
+    impl: str = "auto",
 ):
     """Single-image assignment. vmap over the batch for training.
 
@@ -170,11 +342,37 @@ def assign_labels(
         gt_valid: (G,) bool.
         dist_vals: (N, G) distance-map value at each anchor center (any
             float dtype; upcast to f32 internally).
+        impl: 'auto'/'vectorized' = one batched pass with exclusive
+            (one-hot) candidate resolution (default; the reference's
+            LabelAssignmentParallel spec); 'scan' = the sequential
+            smallest-area-first claim loop (exact LabelAssignment :169-179
+            semantics, kept for differential tests).
     Returns AssignResult(gt_idx (N,), weight (N,)).
     """
+    if ambiguous_sample not in ("min_area", "max_dis"):
+        raise ValueError(f"unknown ambiguous_sample: {ambiguous_sample!r}")
+    if impl not in ("auto", "vectorized", "scan"):
+        raise ValueError(f"unknown assignment impl: {impl!r}")
+    dist_vals = dist_vals.astype(jnp.float32)
+    if impl in ("auto", "vectorized"):
+        return _assign_vectorized(
+            key,
+            anchors,
+            regress_ranges,
+            gt_boxes,
+            gt_valid,
+            dist_vals,
+            positive_num,
+            neg_threshold,
+            balance_sample,
+            adapt_positive_num,
+            random_sample_by_distance,
+            multiply_samplepro_for_weight,
+            ambiguous_sample,
+        )
+
     n = anchors.shape[0]
     g = gt_boxes.shape[0]
-    dist_vals = dist_vals.astype(jnp.float32)
 
     cand = candidate_mask(anchors, regress_ranges, gt_boxes, gt_valid)  # (N, G)
     if ambiguous_sample == "max_dis":

@@ -57,6 +57,7 @@ def build_train_step(
         assignment_cfg.get("multiply_samplepro_for_weight", False)
     )
     ambiguous_sample = str(assignment_cfg.get("ambiguous_sample", "min_area"))
+    assign_impl = str(assignment_cfg.get("impl", "auto"))
     lw = dict(cls=1.0, bbox=2.0, iou=1.0)
     lw.update(loss_weights or {})
     anchors_j = jnp.asarray(anchors)
@@ -83,6 +84,7 @@ def build_train_step(
                 random_sample_by_distance=random_sample_by_distance,
                 multiply_samplepro_for_weight=multiply_samplepro_for_weight,
                 ambiguous_sample=ambiguous_sample,
+                impl=assign_impl,
             )
         )(keys, batch["gt_boxes"], batch["gt_valid"], batch["dist_vals"])
 

@@ -246,6 +246,7 @@ def test_pool_structure_matches_sequential_oracle(rng):
         jnp.asarray(gt_valid),
         jnp.asarray(dist),
         positive_num=10,
+        impl="scan",
     )
     gt_idx = np.asarray(res.gt_idx)
     # every positive of GT g lies in g's oracle pool
@@ -257,6 +258,131 @@ def test_pool_structure_matches_sequential_oracle(rng):
     for pool in pools.values():
         union |= pool
     np.testing.assert_array_equal(gt_idx != -1, union)
+
+
+def _pools_oracle_vectorized(
+    anchors, ranges, gt_boxes, gt_valid, dist, neg_threshold=0.2
+):
+    """Numpy oracle for the vectorized (default) ambiguity resolution: each
+    anchor belongs exclusively to its min-area candidate GT (reference
+    LabelAssignmentParallel, label_assignment.py:328-333), then per-GT
+    threshold pools are independent."""
+    eps = 1e-8
+    cand = np.asarray(
+        candidate_mask(
+            jnp.asarray(anchors), jnp.asarray(ranges), jnp.asarray(gt_boxes), jnp.asarray(gt_valid)
+        )
+    )
+    areas = np.where(
+        gt_valid,
+        (gt_boxes[:, 2] - gt_boxes[:, 0]) * (gt_boxes[:, 3] - gt_boxes[:, 1]),
+        np.inf,
+    )
+    score = np.where(cand, areas[None, :], np.inf)
+    best = score.argmin(axis=1)
+    onehot = cand & (best[:, None] == np.arange(cand.shape[1])[None, :])
+    pools = {}
+    for g in range(cand.shape[1]):
+        if not gt_valid[g]:
+            continue
+        cand_g = onehot[:, g]
+        p = np.clip(dist[:, g], eps, None) * cand_g
+        if not cand_g.any():
+            pools[g] = np.zeros(anchors.shape[0], bool)
+            continue
+        pools[g] = cand_g & (p > neg_threshold * p.max())
+    return pools
+
+
+def test_pool_structure_matches_vectorized_oracle(rng):
+    anchors, ranges, _ = _setup()
+    n = anchors.shape[0]
+    boxes = [
+        [100, 100, 260, 260],
+        [140, 140, 250, 250],
+        [90, 300, 190, 400],
+        [120, 320, 180, 380],
+    ]
+    gt_boxes, gt_labels, gt_valid, dist = _make_gts(boxes, [0, 1, 2, 0], 8, n, anchors)
+    dist = dist * rng.uniform(0.3, 1.0, dist.shape).astype(np.float32)
+    pools = _pools_oracle_vectorized(anchors, ranges, gt_boxes, gt_valid, dist)
+
+    res = assign_labels(
+        jax.random.PRNGKey(3),
+        jnp.asarray(anchors),
+        jnp.asarray(ranges),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(dist),
+        positive_num=10,
+    )
+    gt_idx = np.asarray(res.gt_idx)
+    for g, pool in pools.items():
+        pos = gt_idx == g
+        assert pool[pos].all(), f"gt {g}: positive outside its exclusive pool"
+    union = np.zeros(n, bool)
+    for pool in pools.values():
+        union |= pool
+    np.testing.assert_array_equal(gt_idx != -1, union)
+
+
+def test_vectorized_matches_scan_on_disjoint_gts(rng):
+    """With non-overlapping GTs the per-GT pools coincide, so the vectorized
+    and scan paths must agree BITWISE (shared per-GT key split + sampler)."""
+    anchors, ranges, _ = _setup()
+    n = anchors.shape[0]
+    boxes = [
+        [100, 100, 228, 228],
+        [300, 200, 400, 300],
+        [50, 300, 114, 364],
+    ]
+    gt_boxes, gt_labels, gt_valid, dist = _make_gts(boxes, [0, 1, 2], 8, n, anchors)
+    dist = dist * rng.uniform(0.3, 1.0, dist.shape).astype(np.float32)
+    for kwargs in (
+        {},
+        {"balance_sample": False},
+        {"adapt_positive_num": True},
+        {"random_sample_by_distance": False},
+        {"multiply_samplepro_for_weight": True},
+    ):
+        args = (
+            jax.random.PRNGKey(7),
+            jnp.asarray(anchors),
+            jnp.asarray(ranges),
+            jnp.asarray(gt_boxes),
+            jnp.asarray(gt_valid),
+            jnp.asarray(dist),
+        )
+        a = assign_labels(*args, positive_num=10, impl="vectorized", **kwargs)
+        b = assign_labels(*args, positive_num=10, impl="scan", **kwargs)
+        np.testing.assert_array_equal(np.asarray(a.gt_idx), np.asarray(b.gt_idx)), kwargs
+        np.testing.assert_allclose(np.asarray(a.weight), np.asarray(b.weight)), kwargs
+
+
+def test_vectorized_matches_scan_max_dis(rng):
+    """max_dis already resolves candidates one-hot in both paths, so they
+    agree bitwise even on heavily overlapping scenes."""
+    anchors, ranges, _ = _setup()
+    n = anchors.shape[0]
+    boxes = [
+        [100, 100, 260, 260],
+        [140, 140, 250, 250],
+        [120, 120, 240, 260],
+    ]
+    gt_boxes, gt_labels, gt_valid, dist = _make_gts(boxes, [0, 1, 2], 4, n, anchors)
+    dist = dist * rng.uniform(0.3, 1.0, dist.shape).astype(np.float32)
+    args = (
+        jax.random.PRNGKey(11),
+        jnp.asarray(anchors),
+        jnp.asarray(ranges),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(dist),
+    )
+    a = assign_labels(*args, positive_num=10, ambiguous_sample="max_dis", impl="vectorized")
+    b = assign_labels(*args, positive_num=10, ambiguous_sample="max_dis", impl="scan")
+    np.testing.assert_array_equal(np.asarray(a.gt_idx), np.asarray(b.gt_idx))
+    np.testing.assert_allclose(np.asarray(a.weight), np.asarray(b.weight))
 
 
 def test_no_gt_image():
