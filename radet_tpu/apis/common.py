@@ -119,6 +119,7 @@ def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
         max_gt=max_gt,
         anchor_cfg=anchor_cfg_from_model(model_cfg, la_cfg),
         img_norm=img_norm.to_dict() if img_norm is not None else None,
+        orientation=data_cfg.get("orientation"),
     )
 
 

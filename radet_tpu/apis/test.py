@@ -222,6 +222,7 @@ def run_tta_inference(
     normalizer: float = 1.0 / 8.0,
     flip: bool = False,
     num_workers: int = 4,
+    mesh=None,
     score_thr_keep: float = 0.0,
     log_interval: int = 50,
 ) -> List[dict]:
@@ -234,7 +235,9 @@ def run_tta_inference(
     dataset view with its own compiled infer step (XLA needs one compiled
     program per input shape), detections come back in ORIGINAL image
     coordinates per view, and the per-image union across all views is fused
-    with host vote-NMS (same fusion as the flip-TTA path)."""
+    with host vote-NMS (same fusion as the flip-TTA path).  With ``mesh``
+    each per-scale batch is dp-sharded over the local devices exactly like
+    run_inference (pass replicated ``variables``)."""
     logger = get_root_logger()
     infer_steps = [
         build_infer_step(
@@ -282,8 +285,15 @@ def run_tta_inference(
 
         for infer, batch in zip(infer_steps, batches):
             batch = _pad_batch(batch, batch_size)
+            inputs = dict(
+                image=batch["image"],
+                img_shape=batch["img_shape"],
+                scale_factor=batch["scale_factor"],
+            )
+            if mesh is not None:
+                inputs = shard_batch(inputs, mesh)
             det = infer(
-                variables, batch["image"], batch["img_shape"], batch["scale_factor"]
+                variables, inputs["image"], inputs["img_shape"], inputs["scale_factor"]
             )
             _collect(det, batch)
             if flip:
@@ -291,8 +301,18 @@ def run_tta_inference(
                 shapes = np.asarray(batch["img_shape"])
                 scales = np.asarray(batch["scale_factor"])
                 flipped = _flip_batch_images(images, shapes)
+                f_inputs = dict(
+                    image=flipped,
+                    img_shape=batch["img_shape"],
+                    scale_factor=batch["scale_factor"],
+                )
+                if mesh is not None:
+                    f_inputs = shard_batch(f_inputs, mesh)
                 det_f = infer(
-                    variables, flipped, batch["img_shape"], batch["scale_factor"]
+                    variables,
+                    f_inputs["image"],
+                    f_inputs["img_shape"],
+                    f_inputs["scale_factor"],
                 )
                 fb = _unflip_boxes(np.asarray(det_f.boxes), shapes, scales)
                 _collect(det_f._replace(boxes=fb), batch)
@@ -459,8 +479,6 @@ def test_from_config(
 
     tta = test_cfg.get("tta")
     if tta and tta.get("scales"):
-        # (the TTA path runs per-scale compiled steps unsharded; the
-        # non-TTA dataset and device mesh are not built here)
         from ..core.anchors import generate_anchors
         from .common import _build_bop, anchor_cfg_from_model
 
@@ -488,6 +506,11 @@ def test_from_config(
             a, _, _, c = generate_anchors(size_s, anchor_cfg)
             anchors_list.append(a)
             counts_list.append(c)
+        n_dev = len(jax.devices())
+        use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
+        tta_mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
+        if tta_mesh is not None:
+            variables = jax.device_put(variables, replicated_sharding(tta_mesh))
         results = run_tta_inference(
             model,
             variables,
@@ -499,6 +522,7 @@ def test_from_config(
             batch_size=batch_size,
             normalizer=normalizer_from_cfg(cfg),
             flip=bool(tta.get("flip", False)),
+            mesh=tta_mesh,
         )
         dataset = datasets[0]
         if fmt_only:
@@ -513,12 +537,8 @@ def test_from_config(
     mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
     if mesh is not None:
         variables = jax.device_put(variables, replicated_sharding(mesh))
-    results = run_inference(
-        model,
-        variables,
-        dataset,
-        anchors=anchors,
-        level_counts=counts,
+
+    common_kwargs = dict(
         img_norm=cfg.img_norm_cfg.to_dict(),
         test_cfg=test_cfg,
         batch_size=batch_size,
@@ -526,6 +546,46 @@ def test_from_config(
         aug_flip=bool(cfg.test_cfg.get("flip_tta", False)),
         mesh=mesh,
     )
+    has_portrait = any(i["height"] > i["width"] for i in dataset.data_infos)
+    has_landscape = any(i["height"] <= i["width"] for i in dataset.data_infos)
+    if has_portrait and has_landscape:
+        # Orientation-mixed dataset: one static shape can't hold both (a
+        # portrait image keep_ratio-resized into a landscape input_size
+        # overflows the pad target).  The reference handles mixed aspect via
+        # GroupSampler grouping (group_sampler.py:10-48); the static-shape
+        # equivalent is one dataset VIEW + one compiled program per
+        # orientation (same trick as the multi-scale TTA views), results
+        # merged for evaluation on the full dataset.
+        from ..core.anchors import generate_anchors
+        from .common import _build_bop, anchor_cfg_from_model
+
+        la = cfg.get("label_assignment")
+        anchor_cfg = anchor_cfg_from_model(
+            cfg.model.to_dict(), la.to_dict() if la is not None else None
+        )
+        h0, w0 = tuple(cfg.get("input_size", (480, 640)))
+        base = (min(h0, w0), max(h0, w0))
+        data_cfg = cfg.data[split].to_dict()
+        results = []
+        for orient, size in (("landscape", base), ("portrait", (base[1], base[0]))):
+            view = _build_bop(
+                cfg, dict(data_cfg, orientation=orient), True, input_size=size
+            )
+            if not len(view):
+                continue
+            a, _, _, c = generate_anchors(size, anchor_cfg)
+            results += run_inference(
+                model, variables, view, anchors=a, level_counts=c, **common_kwargs
+            )
+    else:
+        results = run_inference(
+            model,
+            variables,
+            dataset,
+            anchors=anchors,
+            level_counts=counts,
+            **common_kwargs,
+        )
     if fmt_only:
         return dataset, results, None
     return dataset, results, evaluate_results(

@@ -49,7 +49,14 @@ class BOPDataset:
         max_gt: int = 32,
         anchor_cfg: Optional[AnchorConfig] = None,
         img_norm: Optional[dict] = None,
+        orientation: Optional[str] = None,
     ):
+        """``orientation`` ('landscape'/'portrait') keeps only images of that
+        orientation — the static-shape recipe for aspect-mixed datasets (the
+        reference handles these via GroupSampler aspect grouping,
+        datasets/samplers/group_sampler.py:10-48; here each orientation is
+        its own dataset view with its own static input_size + compiled
+        program, built automatically by apis.test.test_from_config)."""
         self.ann_file = ann_file
         self.img_prefix = img_prefix
         self.seg_prefix = seg_prefix if seg_prefix is not None else img_prefix
@@ -70,6 +77,16 @@ class BOPDataset:
 
         self.img_ids = self.coco.get_img_ids()
         self.data_infos = [self.coco.load_img(i) for i in self.img_ids]
+        if orientation is not None:
+            assert orientation in ("landscape", "portrait"), orientation
+            want_portrait = orientation == "portrait"
+            keep = [
+                i
+                for i, info in enumerate(self.data_infos)
+                if (info["height"] > info["width"]) == want_portrait
+            ]
+            self.img_ids = [self.img_ids[i] for i in keep]
+            self.data_infos = [self.data_infos[i] for i in keep]
         if not test_mode and filter_empty_gt:
             keep = [i for i, info in enumerate(self.data_infos) if self._has_valid_gt(info)]
             self.img_ids = [self.img_ids[i] for i in keep]

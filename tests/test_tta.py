@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from radet_tpu.apis.test import _merge_flip_aug, tta_padded_size
 from radet_tpu.models.postprocess import Detections
@@ -54,9 +55,12 @@ def test_tta_padded_size():
     assert tta_padded_size((200, 150), size_divisor=32) == (160, 224)
 
 
-def test_multiscale_flip_tta_end_to_end(tmp_path):
+@pytest.mark.slow
+def test_multiscale_flip_tta_end_to_end(tmp_path, monkeypatch):
     """test_cfg.tta with two scales + flip drives per-scale dataset views,
-    per-scale compiled steps, and host vote-NMS fusion (VERDICT r1 item 9)."""
+    per-scale compiled steps, and host vote-NMS fusion (VERDICT r1 item 9).
+    With >1 local device the TTA batches must go through the dp mesh like
+    run_inference (VERDICT r2 item 7) — asserted via a shard_batch spy."""
     import sys, os.path as osp
 
     sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
@@ -112,9 +116,22 @@ data = dict(
     cfg = Config.fromfile(str(cfg_path))
     model, _, _, _ = build_model_and_anchors(cfg)
     variables = init_variables(model, (128, 160))
+
+    import jax
+
+    import radet_tpu.apis.test as test_mod
+
+    shard_calls = []
+    orig_shard = test_mod.shard_batch
+    monkeypatch.setattr(
+        test_mod, "shard_batch", lambda b, m: (shard_calls.append(1) or orig_shard(b, m))
+    )
     dataset, results, metrics = test_from_config(
         cfg, variables, split="test", batch_size=2
     )
+    if len(jax.devices()) > 1:
+        # 3 images / batch 2 = 2 batches, x2 scales x2 (flip) = 8 sharded puts
+        assert len(shard_calls) == 8, shard_calls
     assert len(results) == 3
     ids = sorted(int(r["img_id"]) for r in results)
     assert ids == sorted(dataset.img_ids)
