@@ -53,6 +53,35 @@ def test_init_and_inference_detector(tmp_path):
     out3 = inference_detector(detector, big)
     assert set(out3) == {"boxes", "scores", "labels"}
 
+    # async API (reference apis/inference.py:129-161 parity): same results
+    # as the sync path, and concurrent requests can be awaited together
+    import asyncio
+
+    from radet_tpu.apis import async_inference_detector
+
+    async def run_async():
+        a, b = await asyncio.gather(
+            async_inference_detector(detector, img),
+            async_inference_detector(detector, [img, big]),
+        )
+        return a, b
+
+    a, b = asyncio.run(run_async())
+    np.testing.assert_array_equal(a["boxes"], out["boxes"])
+    np.testing.assert_array_equal(a["labels"], out["labels"])
+    assert len(b) == 2
+    np.testing.assert_array_equal(b[1]["boxes"], out3["boxes"])
+
+    # show_result_pyplot writes a figure headlessly
+    from radet_tpu.apis import show_result_pyplot
+
+    out_png = str(tmp_path / "viz.png")
+    drawn = show_result_pyplot(detector, img, out, score_thr=0.0, out_file=out_png)
+    assert drawn.shape == img.shape
+    import os
+
+    assert os.path.isfile(out_png) and os.path.getsize(out_png) > 0
+
 
 def test_extra_color_augs(rng):
     from radet_tpu.data.pipeline import RandomHSV, RandomNoise, RandomSmooth
