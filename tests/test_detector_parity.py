@@ -35,6 +35,8 @@ sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "to
 from convert_torch_weights import convert_mmdet_detector  # noqa: E402
 from test_weight_conversion import TorchResNet50, _randomize_bn_stats  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 FEAT = 64  # divisible by GN's 32 groups
 STACKED = 2
 NCLS = 4
