@@ -27,10 +27,13 @@ def make_synthetic_bop(
     max_objects: int = 4,
     seed: int = 0,
     split: str = "train_pbr",
+    mixed_orientation: bool = False,
 ):
-    """Create scenes + a COCO json. Returns (ann_file, img_prefix)."""
+    """Create scenes + a COCO json. Returns (ann_file, img_prefix).
+
+    ``mixed_orientation`` transposes every other image's resolution — an
+    aspect-mixed dataset for the per-orientation-view eval path."""
     rng = np.random.RandomState(seed)
-    h, w = img_hw
     split_dir = osp.join(root, split)
     images, annotations, categories = [], [], []
     for c in range(num_classes):
@@ -43,6 +46,9 @@ def make_synthetic_bop(
         os.makedirs(osp.join(scene_dir, "rgb"), exist_ok=True)
         os.makedirs(osp.join(scene_dir, "mask_visib"), exist_ok=True)
         for i in range(images_per_scene):
+            h, w = img_hw
+            if mixed_orientation and i % 2 == 1:
+                h, w = w, h
             img = rng.randint(0, 80, (h, w, 3), np.uint8)
             n_obj = rng.randint(1, max_objects + 1)
             anns_this = []

@@ -23,6 +23,8 @@ import pytest
 
 from fixtures import make_synthetic_bop
 
+pytestmark = pytest.mark.slow
+
 
 def _free_port():
     s = socket.socket()
@@ -129,7 +131,14 @@ test_cfg = dict(
              vote_score=["iou", "cls"], iou_enable=False, sigma=0.025),
 )
 label_assignment = dict(neg_threshold=0.2, positive_num=10, balance_sample=True, max_gt=8)
-optimizer = dict(type="adamw", lr=1e-3, betas=(0.9, 0.999), weight_decay=0.05, eps=1e-8)
+# SGD, not AdamW: the equivalence under test is the distributed gradient
+# sync.  SGD+momentum is LINEAR in the gradients, so the only multi-vs-single
+# difference is fp32 reduction order (~1e-7 rel) and the final comparison can
+# be tight.  AdamW's m/sqrt(v) normalization turns that same noise into full
+# sign flips on near-zero-grad elements (measured: 2/128 elements of a BN
+# bias off by 2.3e-4 after 4 warmup steps) — chaotic amplification that says
+# nothing about the collective being wrong.
+optimizer = dict(type="SGD", lr=1e-3, momentum=0.9, weight_decay=1e-4)
 lr_config = dict(policy="onecycle", max_lr=1e-3, total_steps=100, pct_start=0.05)
 runner = dict(max_iters=4)
 checkpoint_config = dict(interval=1000, max_to_keep=1)
@@ -210,7 +219,9 @@ def test_two_process_distributed_training_matches_single_process(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=540)
+            # generous bound: ~315 s alone on this host, but a concurrent
+            # full-suite run contends for the single core
+            out, _ = p.communicate(timeout=1200)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -241,15 +252,15 @@ def test_two_process_distributed_training_matches_single_process(tmp_path):
         [sys.executable, worker, "unused", "1", "0", str(cfg_single), wd_single],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
-    out, _ = proc.communicate(timeout=540)
+    out, _ = proc.communicate(timeout=1200)
     assert proc.returncode == 0, f"single-process reference failed:\n{out}"
     ps = dict(_np.load(osp.join(wd_single, "params_p0.npz")))
 
     assert ps.keys() == p0.keys()
     for k in p0:
-        # tolerance: cross-device psum vs single-device sum differ in fp32
-        # reduction order; AdamW's normalize-by-rms amplifies that on
-        # near-zero-grad weights (measured: 1/2.36M elements at 4.1e-5 abs)
+        # tolerance: cross-device psum vs single-device sum differ only in
+        # fp32 reduction order; under SGD that propagates linearly (see the
+        # optimizer note in TRAIN_CFG_TMPL)
         _np.testing.assert_allclose(
-            p0[k], ps[k], rtol=2e-3, atol=1e-4, err_msg=k
+            p0[k], ps[k], rtol=1e-4, atol=1e-6, err_msg=k
         )
