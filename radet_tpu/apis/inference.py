@@ -140,8 +140,14 @@ async def async_inference_detector(detector: Detector, imgs):
         imgs = [imgs]
     loop = asyncio.get_running_loop()
     batch = await loop.run_in_executor(None, _prepare_batch, detector, imgs)
-    # dispatch is async — this returns device futures without blocking
-    det = detector._infer(detector.variables, *batch)
+    # The jitted call itself also runs in the executor: dispatch is normally
+    # an async device-future return, but the FIRST call per batch shape
+    # blocks for XLA trace+compile (seconds to minutes), and host->device
+    # staging of the numpy batch is synchronous — neither may stall the
+    # event loop.
+    det = await loop.run_in_executor(
+        None, detector._infer, detector.variables, *batch
+    )
     out = await loop.run_in_executor(None, _gather_results, det, len(imgs))
     return out[0] if single else out
 

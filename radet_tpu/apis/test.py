@@ -480,13 +480,13 @@ def test_from_config(
     tta = test_cfg.get("tta")
     if tta and tta.get("scales"):
         from ..core.anchors import generate_anchors
-        from .common import _build_bop, anchor_cfg_from_model
+        from .common import _build_bop, anchor_cfg_from_model, assignment_cfg_from
 
         model_cfg = cfg.model.to_dict()
-        la = cfg.get("label_assignment")
-        anchor_cfg = anchor_cfg_from_model(
-            model_cfg, la.to_dict() if la is not None else None
-        )
+        # assignment_cfg_from (not cfg.label_assignment directly): a verbatim
+        # reference config carries anchor params only in the pipeline's
+        # LabelAssignment entry
+        anchor_cfg = anchor_cfg_from_model(model_cfg, assignment_cfg_from(cfg))
         data_cfg = cfg.data[split].to_dict()
         pipe = data_cfg["pipeline"]
         divisor = next(
@@ -546,24 +546,25 @@ def test_from_config(
         aug_flip=bool(cfg.test_cfg.get("flip_tta", False)),
         mesh=mesh,
     )
+    h0, w0 = tuple(cfg.get("input_size", (480, 640)))
     has_portrait = any(i["height"] > i["width"] for i in dataset.data_infos)
-    has_landscape = any(i["height"] <= i["width"] for i in dataset.data_infos)
-    if has_portrait and has_landscape:
-        # Orientation-mixed dataset: one static shape can't hold both (a
-        # portrait image keep_ratio-resized into a landscape input_size
-        # overflows the pad target).  The reference handles mixed aspect via
-        # GroupSampler grouping (group_sampler.py:10-48); the static-shape
-        # equivalent is one dataset VIEW + one compiled program per
-        # orientation (same trick as the multi-scale TTA views), results
-        # merged for evaluation on the full dataset.
+    has_landscape = any(i["height"] < i["width"] for i in dataset.data_infos)
+    # Any image whose orientation disagrees with input_size would overflow
+    # the static pad target after keep_ratio resize (square images fit
+    # either way).  Covers mixed datasets AND uniformly-counter-oriented
+    # ones (e.g. all-portrait data with a landscape input_size).
+    if (has_portrait and w0 > h0) or (has_landscape and h0 > w0):
+        # The reference handles mixed aspect via GroupSampler grouping
+        # (group_sampler.py:10-48); the static-shape equivalent is one
+        # dataset VIEW + one compiled program per orientation (same trick as
+        # the multi-scale TTA views), results merged for evaluation on the
+        # full dataset (detections key on img_id, so order is irrelevant).
         from ..core.anchors import generate_anchors
-        from .common import _build_bop, anchor_cfg_from_model
+        from .common import _build_bop, anchor_cfg_from_model, assignment_cfg_from
 
-        la = cfg.get("label_assignment")
         anchor_cfg = anchor_cfg_from_model(
-            cfg.model.to_dict(), la.to_dict() if la is not None else None
+            cfg.model.to_dict(), assignment_cfg_from(cfg)
         )
-        h0, w0 = tuple(cfg.get("input_size", (480, 640)))
         base = (min(h0, w0), max(h0, w0))
         data_cfg = cfg.data[split].to_dict()
         results = []

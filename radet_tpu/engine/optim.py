@@ -57,16 +57,28 @@ def step_lr(
     gamma: float = 0.1,
     warmup_iters: int = 0,
     warmup_ratio: float = 1.0 / 3.0,
+    warmup: str = "linear",
 ) -> Callable:
-    """mmcv StepLrUpdaterHook (by iter) with optional linear warmup."""
+    """mmcv StepLrUpdaterHook (by iter) with optional warmup.
+
+    ``warmup``: 'linear' | 'constant' | 'exp' — the three mmcv warmup modes
+    (mmcv LrUpdaterHook.get_warmup_lr semantics)."""
+    if warmup not in ("linear", "constant", "exp"):
+        raise ValueError(f"unsupported warmup type {warmup!r} (linear/constant/exp)")
     ms = jnp.asarray(sorted(int(m) for m in milestones), jnp.float32)
 
     def schedule(step):
         s = jnp.asarray(step, jnp.float32)
         lr = base_lr * gamma ** jnp.sum(s >= ms)
         if warmup_iters > 0:
-            k = (1.0 - warmup_ratio) * (1.0 - s / warmup_iters)
-            lr = jnp.where(s < warmup_iters, lr * (1.0 - k), lr)
+            frac = s / warmup_iters
+            if warmup == "constant":
+                factor = jnp.asarray(warmup_ratio, jnp.float32)
+            elif warmup == "exp":
+                factor = warmup_ratio ** (1.0 - frac)
+            else:  # linear
+                factor = 1.0 - (1.0 - warmup_ratio) * (1.0 - frac)
+            lr = jnp.where(s < warmup_iters, lr * factor, lr)
         return lr
 
     return schedule
@@ -90,6 +102,7 @@ def build_lr_schedule(lr_cfg: Dict, base_lr: float) -> Callable:
             warmup_iters=int(lr_cfg.get("warmup_iters", 0))
             if lr_cfg.get("warmup") else 0,
             warmup_ratio=float(lr_cfg.get("warmup_ratio", 1.0 / 3.0)),
+            warmup=str(lr_cfg.get("warmup") or "linear"),
         )
     if policy in ("fixed", "constant"):
         return lambda step: jnp.asarray(base_lr, jnp.float32)

@@ -31,6 +31,16 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), f"unknown backbone type {btype}"
     ntype = neck.get("type", "FPN")
     assert ntype in ("FPN", "ChannelMapper"), f"unknown neck type {ntype}"
+    # fail fast on silently-unsupported neck options (config-surface
+    # convention): only ReLU activation and no norm layer are implemented
+    act_cfg = neck.get("act_cfg")
+    assert act_cfg is None or act_cfg.get("type", "ReLU") == "ReLU", (
+        f"unsupported neck act_cfg {act_cfg!r} (only ReLU or None)"
+    )
+    assert neck.get("norm_cfg") is None, (
+        f"unsupported neck norm_cfg {neck.get('norm_cfg')!r} (norm-free necks "
+        "only, matching the reference BOP configs)"
+    )
     v1d = btype == "ResNetV1d"
     return RADet(
         num_classes=head["num_classes"],

@@ -281,3 +281,32 @@ def test_mixed_orientation_eval(tmp_path_factory, trained):
     assert len(results) == len(dataset) == 4
     assert {r["img_id"] for r in results} == set(dataset.img_ids)
     assert "bbox_mAP" in metrics
+
+
+def test_all_portrait_dataset_eval(tmp_path_factory, trained):
+    """Review r3: a UNIFORMLY counter-oriented dataset (every image portrait,
+    landscape input_size) must also route through the per-orientation view
+    path — previously only a mixed dataset triggered it and the uniform case
+    crashed in Pad."""
+    from radet_tpu.apis.test import test_from_config
+    from radet_tpu.utils import Config
+
+    root = tmp_path_factory.mktemp("bop_portrait")
+    make_synthetic_bop(
+        str(root),
+        num_scenes=1,
+        images_per_scene=3,
+        img_hw=(160, 128),  # portrait: h > w
+        num_classes=3,
+    )
+    tmp = tmp_path_factory.mktemp("portrait_cfg")
+    cfg = Config.fromfile(_write_tiny_cfg(tmp, str(root)))  # input_size (128, 160)
+    variables = {"params": jax.device_get(trained.state.params)}
+    if trained.state.batch_stats:
+        variables["batch_stats"] = jax.device_get(trained.state.batch_stats)
+    dataset, results, metrics = test_from_config(
+        cfg, variables, split="test", batch_size=2
+    )
+    assert len(results) == len(dataset) == 3
+    assert {r["img_id"] for r in results} == set(dataset.img_ids)
+    assert "bbox_mAP" in metrics

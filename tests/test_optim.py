@@ -174,6 +174,29 @@ def test_step_lr_policy_and_warmup():
         build_lr_schedule(dict(policy="cosine"), 1e-3)
 
 
+def test_step_lr_warmup_modes():
+    """Review r3: mmcv's 'constant' and 'exp' warmup types must be honored,
+    not silently executed as linear (mmcv LrUpdaterHook.get_warmup_lr)."""
+    const = build_lr_schedule(
+        dict(policy="step", step=[100], warmup="constant",
+             warmup_iters=10, warmup_ratio=0.25), 0.4
+    )
+    np.testing.assert_allclose(float(const(0)), 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(const(9)), 0.1, rtol=1e-6)  # flat, not ramped
+    np.testing.assert_allclose(float(const(10)), 0.4, rtol=1e-6)
+
+    exp = build_lr_schedule(
+        dict(policy="step", step=[100], warmup="exp",
+             warmup_iters=10, warmup_ratio=0.25), 0.4
+    )
+    np.testing.assert_allclose(float(exp(0)), 0.4 * 0.25, rtol=1e-6)
+    np.testing.assert_allclose(float(exp(5)), 0.4 * 0.25**0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(exp(10)), 0.4, rtol=1e-6)
+
+    with pytest.raises(ValueError, match="warmup type"):
+        step_lr(0.1, [10], warmup_iters=5, warmup="cosine")
+
+
 def test_unknown_optimizer_type_fails_fast():
     with pytest.raises(ValueError, match="optimizer type"):
         build_optimizer(dict(type="LAMB", lr=1e-3), dict(policy="fixed"), None,

@@ -207,6 +207,32 @@ def test_builder_rejects_unknown_neck_and_builds_channel_mapper():
         )
 
 
+def test_builder_rejects_unsupported_neck_act_and_norm():
+    """Review r3: a non-ReLU act_cfg or any norm_cfg on the neck must fail
+    fast rather than silently building ReLU / dropping the norm."""
+    from radet_tpu.models.builder import build_detector
+
+    base = dict(
+        type="RADet",
+        backbone=dict(depth=18),
+        bbox_head=dict(num_classes=3, feat_channels=32, stacked_convs=1),
+    )
+    with pytest.raises(AssertionError, match="act_cfg"):
+        build_detector(
+            dict(base, neck=dict(type="ChannelMapper", out_channels=32,
+                                 act_cfg=dict(type="GELU")))
+        )
+    with pytest.raises(AssertionError, match="norm_cfg"):
+        build_detector(
+            dict(base, neck=dict(out_channels=32,
+                                 norm_cfg=dict(type="GN", num_groups=32)))
+        )
+    # explicit act_cfg=None (no activation) and absent act_cfg stay valid
+    m = build_detector(dict(base, neck=dict(type="ChannelMapper",
+                                            out_channels=32, act_cfg=None)))
+    assert m.neck_with_relu is False
+
+
 def test_photometric_distortion_noop_is_bitwise_identity(monkeypatch):
     """Advisor r2 (low): when no op fires, the image must pass through
     bitwise-unchanged (no HSV roundtrip / clipping noise)."""
