@@ -98,17 +98,27 @@ def train_detector(
     )
 
     batch_size = int(cfg.data.get("samples_per_gpu", 16))
+    # optional spatial partitioning: cfg.parallel = dict(space=N) shards each
+    # image's H axis over N adjacent chips in addition to data parallelism
+    # (parallel/mesh.py module docstring); N must divide the device count
+    par_cfg = cfg.get("parallel")
+    space = int(par_cfg.get("space", 1)) if par_cfg else 1
     if jax.process_count() > 1:
         # multi-host: every process must join the (global) mesh with all of
         # its local devices; `batch_size` is the PER-HOST batch (the loader
         # shards the dataset by process) and must divide over local devices
         n_local = jax.local_device_count()
-        if batch_size % n_local != 0:
+        if n_local % space != 0:
+            raise ValueError(
+                f"parallel.space={space} must divide the {n_local} local "
+                "devices of each host (spatial groups cannot span hosts)"
+            )
+        if batch_size % (n_local // space) != 0:
             raise ValueError(
                 f"samples_per_gpu={batch_size} must be divisible by the "
-                f"{n_local} local devices of each host"
+                f"{n_local // space} data-parallel devices of each host"
             )
-        mesh = create_mesh(jax.devices())
+        mesh = create_mesh(jax.devices(), space=space)
         state = jax.device_put(state, replicated_sharding(mesh))
         logger.info(
             f"mesh: {mesh.shape} over {jax.process_count()} hosts; "
@@ -116,9 +126,14 @@ def train_detector(
         )
     else:
         n_dev = len(jax.devices())
-        # the data mesh must divide the batch
-        use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-        mesh = create_mesh(jax.devices()[:use_dev])
+        # the data axis must divide the batch; with spatial partitioning the
+        # device count is dp*space, of which only dp consumes batch rows
+        dp = max(
+            d for d in range(1, n_dev // space + 1)
+            if batch_size % d == 0 and d * space <= n_dev
+        )
+        use_dev = dp * space
+        mesh = create_mesh(jax.devices()[:use_dev], space=space)
         state = jax.device_put(state, replicated_sharding(mesh))
         logger.info(f"mesh: {mesh.shape} over {use_dev}/{n_dev} devices; batch {batch_size}")
 
