@@ -31,6 +31,10 @@ from .coco_io import CocoIndex
 from .pipeline import Compose, build_pipeline
 
 MASK_PATH_TEMPLATE = "{:06d}/mask_visib/{:06d}_{:06d}.png"
+# one instance-id map per image (0=background, ann_idx+1=instance) — BOP
+# visible masks are disjoint by construction so the packing is lossless;
+# written by tools/pack_masks.py, cuts G PNG decodes/sample to 1
+MASK_PACKED_TEMPLATE = "{:06d}/mask_packed/{:06d}.png"
 
 
 class BOPDataset:
@@ -129,7 +133,7 @@ class BOPDataset:
         img_id_in_scene = int(osp.splitext(parts[-1])[0])
 
         gt_bboxes, gt_labels, gt_masks, gt_bboxes_ignore = [], [], [], []
-        gt_polys = []
+        gt_polys, gt_masks_idx = [], []
         for i, ann in enumerate(anns):
             if ann.get("ignore", False):
                 continue
@@ -149,6 +153,7 @@ class BOPDataset:
                 gt_bboxes.append(bbox)
                 gt_labels.append(self.cat2label[ann["category_id"]])
                 gt_masks.append(MASK_PATH_TEMPLATE.format(scene_id, img_id_in_scene, i))
+                gt_masks_idx.append(i)
                 gt_polys.append(ann.get("segmentation"))
 
         return dict(
@@ -156,6 +161,10 @@ class BOPDataset:
             labels=np.asarray(gt_labels, np.int64),
             bboxes_ignore=np.asarray(gt_bboxes_ignore, np.float32).reshape(-1, 4),
             masks=gt_masks,
+            # packed alternative (tools/pack_masks.py): ONE instance-id map
+            # per image; per-GT original ann index selects the id channel
+            masks_idx=gt_masks_idx,
+            mask_packed=MASK_PACKED_TEMPLATE.format(scene_id, img_id_in_scene),
             segmentations=gt_polys if any(p is not None for p in gt_polys) else None,
             scene_id=scene_id,
             img_id_in_scene=img_id_in_scene,
