@@ -1,6 +1,6 @@
-"""Fused vote-NMS as a single tiled Pallas TPU kernel.
+"""Fused vote-NMS as a single tiled, batch-chunked Pallas TPU kernel.
 
-One kernel invocation per image (grid over the batch) performs the whole
+Each grid program processes a CHUNK of images (default 8) through the whole
 vote-NMS pipeline in VMEM with no HBM round-trips between stages:
 
   1. tile-sequential greedy suppression: boxes are processed in 128-wide
@@ -16,39 +16,38 @@ vote-NMS pipeline in VMEM with no HBM round-trips between stages:
      matmul passes per tile pair).
 
 No (K, K) intermediate is ever materialized — every pairwise quantity is
-(re)computed per 128x128 tile inside fori_loops, so Mosaic compiles a
+(re)computed per (C, 128, 128) tile inside fori_loops, so Mosaic compiles a
 constant-size kernel body regardless of K (the round-1 single-block kernel
 compiled the full (K, K) ops inline and Mosaic blew up superlinearly:
 K=128 ~9 s, K=256 ~67 s, K=512 timed out; the tiled kernel compiles in
 ~10 s at any K).
 
-Measured on a v5e chip (batch 8, 400/900 live candidates, deep clusters),
-against vote_nms_device_fast (XLA HLO, same algorithm):
+Why the chunk axis: grid programs run SEQUENTIALLY on the TensorCore, and
+the round-2 one-image-per-program kernel measured a FLAT ~0.28 ms/image at
+batch 8 AND batch 128 — per-program control overhead (fori_loop trips,
+while_loop latency chains, matvec latency) dominated the arithmetic, so
+large batches lost to the XLA formulation whose (B, K, K) ops batch onto
+the MXU (postprocess 16 ms vs 36 ms per batch-128).  Chunking C images into
+one program runs the SAME loop structure once per C images: every
+elementwise tile op becomes (C, 128, 128) on the VPU and every matvec a
+C-batched dot_general, amortizing the control overhead C-fold.  The greedy
+fixed point iterates until ALL chunk images converge (a few extra no-op
+iterations for early converger images — masked, so semantics are
+unchanged).
 
-  K=512:  pallas 2.2 ms vs XLA 2.7 ms  (1.25x faster; compile 10 s vs 3 s)
-  K=1024: pallas 5.3 ms vs XLA 3.0 ms  (XLA wins: the kernel's sequential
-          fori_loop tile sweeps are O(T^2) with per-iteration overhead,
-          while XLA parallelizes the full (K, K) ops)
-
-Batch scaling caveat (measured, batch 128 deploy config, K=512): the
-kernel's grid=(B,) programs run SEQUENTIALLY on the TensorCore, so at large
-batch the XLA formulation — whose (B, K, K) matmuls batch onto the MXU —
-wins end-to-end (postprocess 16 ms vs 36 ms per batch-128).  ``nms_impl``
-therefore defaults to 'fast' everywhere; select 'pallas' for small-batch /
-latency-sensitive serving (1.25x at batch<=8).  Suppression sets agree
-EXACTLY between the two; voted coordinates may differ on a <0.5% tail of
-1-sigma boundary flips (different f32 accumulation orders — both
-implementations sit ~1.6% from the f64 oracle on adversarial deep-cluster
-scenes, dominated by the same flips).
-
-Inputs must be pre-sorted by descending cluster score with invalid slots
-last (models/postprocess.py does a global top-k that returns exactly this).
 Semantics are identical to ops/vote_nms.py::vote_nms_device_fast (same
 formulation), which is itself exact-parity-tested against the sequential
 C++-semantics oracle (reference /root/reference/radet/ops/vote/
-vote_ext.cpp:70-353).
+vote_ext.cpp:70-353).  Suppression sets agree EXACTLY between the two;
+voted coordinates may differ on a <0.5% tail of 1-sigma boundary flips
+(different f32 accumulation orders — both implementations sit ~1.6% from
+the f64 oracle on adversarial deep-cluster scenes, dominated by the same
+flips).
 
-K must be a multiple of 128 (MXU lane width).
+Inputs must be pre-sorted by descending cluster score with invalid slots
+last (models/postprocess.py does a global top-k that returns exactly this).
+K must be a multiple of 128 (MXU lane width).  The batch is padded to a
+multiple of the chunk size with invalid images.
 """
 
 from __future__ import annotations
@@ -63,72 +62,83 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 TILE = 128
+CHUNK = 8  # images per grid program
 
 
 def _matvec(m, v):
-    """(T, T) @ (T,) -> (T,) on the MXU.
+    """(C, T, T) @ (C, T) -> (C, T), batched on the MXU.
 
     Precision.HIGHEST: the MXU multiplies in bf16 by default, which
     quantizes voted coordinates (~1 px at 300 px) — the multi-pass f32
     mode keeps voting exact and these 128x128 products are far from the
     kernel's critical path."""
     return jax.lax.dot_general(
-        m, v[:, None], (((1,), (0,)), ((), ())),
+        m, v[..., None], (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
-    )[:, 0]
+    )[..., 0]
 
 
 def _matmul(a, b):
+    """(C, T, T) @ (C, T, 4) -> (C, T, 4), batched."""
     return jax.lax.dot_general(
-        a, b, (((1,), (0,)), ((), ())),
+        a, b, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )
 
 
 def _nms_kernel_tiled(
-    boxes_ref,  # (K, 4) f32, sorted by cluster score desc
-    cscore_ref,  # (1, K) f32 (unused in-kernel; scores re-gathered outside)
-    vscore_ref,  # (1, K) f32
-    labels_ref,  # (1, K) i32
-    valid_ref,  # (1, K) i32 (0/1)
-    voted_ref,  # out (K, 4) f32
-    keep_ref,  # out (1, K) i32
-    keep_s,  # scratch (1, K) f32 — greedy keep (pre global-dedup)
-    keep2_s,  # scratch (1, K) f32 — final keep
-    seed_s,  # scratch (1, K) i32 — seed index per box (K = no seed)
+    boxes_ref,  # (C, K, 4) f32, sorted by cluster score desc
+    vscore_ref,  # (C, K) f32
+    labels_ref,  # (C, K) i32
+    valid_ref,  # (C, K) i32 (0/1)
+    voted_ref,  # out (C, K, 4) f32
+    keep_ref,  # out (C, K) i32
+    keep_s,  # scratch (C, K) f32 — greedy keep (pre global-dedup)
+    keep2_s,  # scratch (C, K) f32 — final keep
+    seed_s,  # scratch (C, K) i32 — seed index per box (K = no seed)
     *,
     iou_threshold: float,
     iou_enable: bool,
     sigma: float,
     global_mode: bool,
 ):
-    k = boxes_ref.shape[0]
+    c_n, k = vscore_ref.shape
     n_tiles = k // TILE
     # NB masks are carried as f32: Mosaic cannot reshape 1-bit vectors to 2D
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 0)[None]
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (TILE, TILE), 1)[None]
 
     def _tile(t):
         off = pl.multiple_of(t * TILE, TILE)
-        b = boxes_ref[pl.ds(off, TILE), :]
-        lab = labels_ref[0, pl.ds(off, TILE)]
-        val = (valid_ref[0, pl.ds(off, TILE)] > 0).astype(jnp.float32)
+        b = boxes_ref[:, pl.ds(off, TILE), :]
+        lab = labels_ref[:, pl.ds(off, TILE)]
+        val = (valid_ref[:, pl.ds(off, TILE)] > 0).astype(jnp.float32)
         return b, lab, val
 
     def _iou_ok(br, lr, vr, bc, lc, vc):
-        """rows = tile r boxes, cols = tile c boxes: (iou, adjacency)."""
-        xl = jnp.maximum(br[:, 0][:, None], bc[:, 0][None, :])
-        yt = jnp.maximum(br[:, 1][:, None], bc[:, 1][None, :])
-        xr = jnp.minimum(br[:, 2][:, None], bc[:, 2][None, :])
-        yb = jnp.minimum(br[:, 3][:, None], bc[:, 3][None, :])
+        """rows = tile r boxes, cols = tile c boxes: (iou, adjacency),
+        each (C, TILE, TILE)."""
+        xl = jnp.maximum(br[:, :, 0][:, :, None], bc[:, :, 0][:, None, :])
+        yt = jnp.maximum(br[:, :, 1][:, :, None], bc[:, :, 1][:, None, :])
+        xr = jnp.minimum(br[:, :, 2][:, :, None], bc[:, :, 2][:, None, :])
+        yb = jnp.minimum(br[:, :, 3][:, :, None], bc[:, :, 3][:, None, :])
         inter = jnp.maximum(xr - xl, 0.0) * jnp.maximum(yb - yt, 0.0)
-        ar = jnp.maximum(br[:, 2] - br[:, 0], 0.0) * jnp.maximum(br[:, 3] - br[:, 1], 0.0)
-        ac = jnp.maximum(bc[:, 2] - bc[:, 0], 0.0) * jnp.maximum(bc[:, 3] - bc[:, 1], 0.0)
-        iou = inter / jnp.maximum(ar[:, None] + ac[None, :] - inter, 1e-12)
-        same = (lr[:, None] == lc[None, :]).astype(jnp.float32)
-        ok = (iou > iou_threshold).astype(jnp.float32) * same * vr[:, None] * vc[None, :]
+        ar = jnp.maximum(br[:, :, 2] - br[:, :, 0], 0.0) * jnp.maximum(
+            br[:, :, 3] - br[:, :, 1], 0.0
+        )
+        ac = jnp.maximum(bc[:, :, 2] - bc[:, :, 0], 0.0) * jnp.maximum(
+            bc[:, :, 3] - bc[:, :, 1], 0.0
+        )
+        iou = inter / jnp.maximum(ar[:, :, None] + ac[:, None, :] - inter, 1e-12)
+        same = (lr[:, :, None] == lc[:, None, :]).astype(jnp.float32)
+        ok = (
+            (iou > iou_threshold).astype(jnp.float32)
+            * same
+            * vr[:, :, None]
+            * vc[:, None, :]
+        )
         return iou, ok
 
     # ------------------------------------------------------------------
@@ -142,11 +152,13 @@ def _nms_kernel_tiled(
 
         def _earlier(s, blocked):
             bs, ls, vs = _tile(s)
-            ks = keep_s[0, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
+            ks = keep_s[:, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
             _, ok = _iou_ok(bt, lt, vt, bs, ls, vs)
             return blocked + _matvec(ok, ks)
 
-        blocked = jax.lax.fori_loop(0, t, _earlier, jnp.zeros((TILE,), jnp.float32))
+        blocked = jax.lax.fori_loop(
+            0, t, _earlier, jnp.zeros((c_n, TILE), jnp.float32)
+        )
         base = vt * (blocked < 0.5).astype(jnp.float32)
 
         _, ok_tt = _iou_ok(bt, lt, vt, bt, lt, vt)
@@ -162,7 +174,7 @@ def _nms_kernel_tiled(
             return nk, jnp.any(nk != kp)
 
         kp, _ = jax.lax.while_loop(_cond, _body, (base, True))
-        keep_s[0, pl.ds(off_t, TILE)] = kp
+        keep_s[:, pl.ds(off_t, TILE)] = kp
         return carry
 
     jax.lax.fori_loop(0, n_tiles, _phase_a, 0)
@@ -177,24 +189,26 @@ def _nms_kernel_tiled(
         def _dedup(t, carry):
             bt, lt, vt = _tile(t)
             off_t = pl.multiple_of(t * TILE, TILE)
-            kp_t = keep_s[0, pl.ds(off_t, TILE)]
-            row_g = t * TILE + row_i  # (TILE, TILE) global row ids
+            kp_t = keep_s[:, pl.ds(off_t, TILE)]
+            row_g = t * TILE + row_i  # (1, TILE, TILE) global row ids
 
             def _scan(s, dup):
                 _, ls, _ = _tile(s)
-                ks = keep_s[0, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
-                same = (lt[:, None] == ls[None, :]).astype(jnp.float32)
+                ks = keep_s[:, pl.ds(pl.multiple_of(s * TILE, TILE), TILE)]
+                same = (lt[:, :, None] == ls[:, None, :]).astype(jnp.float32)
                 col_g = s * TILE + col_i
                 earlier = (col_g < row_g).astype(jnp.float32)
                 return dup + _matvec(same * earlier, ks)
 
-            dup = jax.lax.fori_loop(0, t + 1, _scan, jnp.zeros((TILE,), jnp.float32))
-            keep2_s[0, pl.ds(off_t, TILE)] = kp_t * (dup < 0.5).astype(jnp.float32)
+            dup = jax.lax.fori_loop(
+                0, t + 1, _scan, jnp.zeros((c_n, TILE), jnp.float32)
+            )
+            keep2_s[:, pl.ds(off_t, TILE)] = kp_t * (dup < 0.5).astype(jnp.float32)
             return carry
 
         jax.lax.fori_loop(0, n_tiles, _dedup, 0)
     else:
-        keep2_s[0, :] = keep_s[0, :]
+        keep2_s[:, :] = keep_s[:, :]
 
     # ------------------------------------------------------------------
     # Membership: seed(j) = lowest-index kept i <= j with ok(i, j).
@@ -205,22 +219,24 @@ def _nms_kernel_tiled(
 
         def _scan(r, best):
             br, lr, vr = _tile(r)
-            kr = keep2_s[0, pl.ds(pl.multiple_of(r * TILE, TILE), TILE)]
+            kr = keep2_s[:, pl.ds(pl.multiple_of(r * TILE, TILE), TILE)]
             _, ok = _iou_ok(br, lr, vr, bc, lc, vc)
             row_g = r * TILE + row_i
             col_g = c * TILE + col_i
-            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, :, None]
             # forced self-membership: a kept box always seeds itself even
             # when IoU(i, i) fails the threshold (zero-area boxes) —
             # matches vote_nms_device_fast's cand.at[idx, idx].set(keep)
             cand = jnp.maximum(
-                cand, (row_g == col_g).astype(jnp.float32) * kr[:, None]
+                cand, (row_g == col_g).astype(jnp.float32) * kr[:, :, None]
             )
             cand_seed = jnp.where(cand > 0.5, row_g, k)
-            return jnp.minimum(best, jnp.min(cand_seed, axis=0))
+            return jnp.minimum(best, jnp.min(cand_seed, axis=1))
 
-        best = jax.lax.fori_loop(0, c + 1, _scan, jnp.full((TILE,), k, jnp.int32))
-        seed_s[0, pl.ds(off_c, TILE)] = best
+        best = jax.lax.fori_loop(
+            0, c + 1, _scan, jnp.full((c_n, TILE), k, jnp.int32)
+        )
+        seed_s[:, pl.ds(off_c, TILE)] = best
         return carry
 
     jax.lax.fori_loop(0, n_tiles, _seeds, 0)
@@ -233,23 +249,23 @@ def _nms_kernel_tiled(
     def _vote(r, carry):
         br, lr, vr = _tile(r)
         off_r = pl.multiple_of(r * TILE, TILE)
-        kr = keep2_s[0, pl.ds(off_r, TILE)]
+        kr = keep2_s[:, pl.ds(off_r, TILE)]
         row_g = r * TILE + row_i
 
         def _member_w(c):
             bc, lc, vc = _tile(c)
             iou, ok = _iou_ok(br, lr, vr, bc, lc, vc)
             col_g = c * TILE + col_i
-            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, None]
+            cand = ok * (row_g <= col_g).astype(jnp.float32) * kr[:, :, None]
             # forced self-membership (see _seeds): zero-area kept boxes
             # must vote with their own coordinates, not collapse to (0,)*4
             cand = jnp.maximum(
-                cand, (row_g == col_g).astype(jnp.float32) * kr[:, None]
+                cand, (row_g == col_g).astype(jnp.float32) * kr[:, :, None]
             )
-            seed_c = seed_s[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
-            member = (row_g == seed_c[None, :]).astype(jnp.float32) * cand
-            vs_c = vscore_ref[0, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
-            w = member * vs_c[None, :]
+            seed_c = seed_s[:, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
+            member = (row_g == seed_c[:, None, :]).astype(jnp.float32) * cand
+            vs_c = vscore_ref[:, pl.ds(pl.multiple_of(c * TILE, TILE), TILE)]
+            w = member * vs_c[:, None, :]
             if iou_enable:
                 w = w * jnp.exp(-((1.0 - iou) ** 2) / sigma)
             return w, bc
@@ -257,7 +273,7 @@ def _nms_kernel_tiled(
         def _pass1(c, acc):
             accw, accb, accsq = acc
             w, bc = _member_w(c)
-            accw = accw + _matvec(w, jnp.ones((TILE,), jnp.float32))
+            accw = accw + _matvec(w, jnp.ones((c_n, TILE), jnp.float32))
             accb = accb + _matmul(w, bc)
             accsq = accsq + _matmul(w, bc * bc)
             return accw, accb, accsq
@@ -267,12 +283,12 @@ def _nms_kernel_tiled(
             n_tiles,
             _pass1,
             (
-                jnp.zeros((TILE,), jnp.float32),
-                jnp.zeros((TILE, 4), jnp.float32),
-                jnp.zeros((TILE, 4), jnp.float32),
+                jnp.zeros((c_n, TILE), jnp.float32),
+                jnp.zeros((c_n, TILE, 4), jnp.float32),
+                jnp.zeros((c_n, TILE, 4), jnp.float32),
             ),
         )
-        wsum = jnp.maximum(accw, 1e-12)[:, None]
+        wsum = jnp.maximum(accw, 1e-12)[:, :, None]
         mean = accb / wsum
         sq = accsq / wsum
         sig = jnp.sqrt(jnp.maximum(sq - mean * mean, 0.0))
@@ -284,13 +300,13 @@ def _nms_kernel_tiled(
             w, bc = _member_w(c)
             dcols, ncols = [], []
             for coord in range(4):
-                xc = bc[:, coord]
+                xc = bc[:, :, coord]
                 inlier = (
-                    (xc[None, :] >= lo[:, coord][:, None])
-                    & (xc[None, :] <= hi[:, coord][:, None])
+                    (xc[:, None, :] >= lo[:, :, coord][:, :, None])
+                    & (xc[:, None, :] <= hi[:, :, coord][:, :, None])
                 ).astype(jnp.float32)
                 w2 = w * inlier
-                dcols.append(_matvec(w2, jnp.ones((TILE,), jnp.float32)))
+                dcols.append(_matvec(w2, jnp.ones((c_n, TILE), jnp.float32)))
                 ncols.append(_matvec(w2, xc))
             return den + jnp.stack(dcols, -1), num + jnp.stack(ncols, -1)
 
@@ -298,11 +314,14 @@ def _nms_kernel_tiled(
             r,
             n_tiles,
             _pass2,
-            (jnp.zeros((TILE, 4), jnp.float32), jnp.zeros((TILE, 4), jnp.float32)),
+            (
+                jnp.zeros((c_n, TILE, 4), jnp.float32),
+                jnp.zeros((c_n, TILE, 4), jnp.float32),
+            ),
         )
         voted = jnp.where(den > 0, num / jnp.maximum(den, 1e-12), mean)
-        voted_ref[pl.ds(off_r, TILE), :] = voted
-        keep_ref[0, pl.ds(off_r, TILE)] = kr.astype(jnp.int32)
+        voted_ref[:, pl.ds(off_r, TILE), :] = voted
+        keep_ref[:, pl.ds(off_r, TILE)] = kr.astype(jnp.int32)
         return carry
 
     jax.lax.fori_loop(0, n_tiles, _vote, 0)
@@ -310,7 +329,10 @@ def _nms_kernel_tiled(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("iou_threshold", "max_out", "iou_enable", "sigma", "global_mode", "interpret"),
+    static_argnames=(
+        "iou_threshold", "max_out", "iou_enable", "sigma", "global_mode",
+        "chunk", "interpret",
+    ),
 )
 def vote_nms_pallas(
     boxes,  # (B, K, 4) SORTED by cluster score desc, invalid last
@@ -324,12 +346,22 @@ def vote_nms_pallas(
     iou_enable: bool = False,
     sigma: float = 0.025,
     global_mode: bool = False,
+    chunk: int = CHUNK,
     interpret: bool = False,
 ):
     """Batched fused vote-NMS. Same outputs as vote_nms_device_fast (vmapped):
     (boxes (B,max_out,4), labels, scores, valid)."""
     b, k, _ = boxes.shape
     assert k % TILE == 0, f"K must be a multiple of {TILE}, got {k}"
+    c = min(chunk, b)
+    pad = (-b) % c
+    bp = b + pad
+
+    def _pad(x, fill=0):
+        if pad == 0:
+            return x
+        widths = [(0, pad)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, widths, constant_values=fill)
 
     kernel = functools.partial(
         _nms_kernel_tiled,
@@ -340,40 +372,38 @@ def vote_nms_pallas(
     )
     voted, keep = pl.pallas_call(
         kernel,
-        grid=(b,),
+        grid=(bp // c,),
         in_specs=[
-            pl.BlockSpec((None, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((None, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, k), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k, 4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, k, 4), jnp.float32),
-            jax.ShapeDtypeStruct((b, 1, k), jnp.int32),
+            jax.ShapeDtypeStruct((bp, k, 4), jnp.float32),
+            jax.ShapeDtypeStruct((bp, k), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, k), jnp.float32),  # keep (pre-dedup)
-            pltpu.VMEM((1, k), jnp.float32),  # keep (final)
-            pltpu.VMEM((1, k), jnp.int32),  # seed index per box
+            pltpu.VMEM((c, k), jnp.float32),  # keep (pre-dedup)
+            pltpu.VMEM((c, k), jnp.float32),  # keep (final)
+            pltpu.VMEM((c, k), jnp.int32),  # seed index per box
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        boxes.astype(jnp.float32),
-        cluster_scores[:, None, :].astype(jnp.float32),
-        vote_scores[:, None, :].astype(jnp.float32),
-        labels[:, None, :].astype(jnp.int32),
-        valid[:, None, :].astype(jnp.int32),
+        _pad(boxes.astype(jnp.float32)),
+        _pad(vote_scores.astype(jnp.float32)),
+        _pad(labels.astype(jnp.int32)),
+        _pad(valid.astype(jnp.int32)),
     )
-    keep = keep[:, 0, :] > 0  # (B, K)
+    voted = voted[:b]
+    keep = keep[:b] > 0  # (B, K)
 
     # pack kept seeds (already score-ordered by index) into max_out slots
-    idx = jnp.arange(k)
     rank = jnp.cumsum(keep, axis=1) - 1
     slot = jnp.where(keep & (rank < max_out), rank, max_out)
 
