@@ -22,6 +22,23 @@ from ..utils.logging import get_root_logger
 from .common import build_dataset, build_model_and_anchors, normalizer_from_cfg
 
 
+def _eval_mesh(cfg, batch_size: int):
+    """Local-device mesh for batched eval: data axis dividing the batch,
+    plus the optional spatial axis (cfg.parallel = dict(space=N), same knob
+    as training — parallel/mesh.py module docstring)."""
+    par = cfg.get("parallel")
+    space = int(par.get("space", 1)) if par else 1
+    n_dev = len(jax.devices())
+    if space > n_dev:
+        raise ValueError(f"parallel.space={space} exceeds {n_dev} devices")
+    dp = max(
+        d for d in range(1, n_dev // space + 1)
+        if batch_size % d == 0 and d * space <= n_dev
+    )
+    use_dev = dp * space
+    return create_mesh(jax.devices()[:use_dev], space=space) if use_dev > 1 else None
+
+
 def strict_eval_overrides(test_cfg: Dict) -> Dict:
     """Reference-parity candidate semantics for evaluation/export.
 
@@ -506,9 +523,7 @@ def test_from_config(
             a, _, _, c = generate_anchors(size_s, anchor_cfg)
             anchors_list.append(a)
             counts_list.append(c)
-        n_dev = len(jax.devices())
-        use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-        tta_mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
+        tta_mesh = _eval_mesh(cfg, batch_size)
         if tta_mesh is not None:
             variables = jax.device_put(variables, replicated_sharding(tta_mesh))
         results = run_tta_inference(
@@ -532,9 +547,7 @@ def test_from_config(
     )
 
     dataset = build_dataset(cfg, split)
-    n_dev = len(jax.devices())
-    use_dev = max(d for d in range(1, n_dev + 1) if batch_size % d == 0)
-    mesh = create_mesh(jax.devices()[:use_dev]) if use_dev > 1 else None
+    mesh = _eval_mesh(cfg, batch_size)
     if mesh is not None:
         variables = jax.device_put(variables, replicated_sharding(mesh))
 

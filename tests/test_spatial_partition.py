@@ -181,6 +181,36 @@ def test_spatial_infer_step_matches_single_device():
 
 
 @pytest.mark.slow
+def test_eval_with_space_config(tmp_path):
+    """cfg.parallel = dict(space=2) also routes batched eval through the
+    2-D mesh (apis/test.py::_eval_mesh)."""
+    from radet_tpu.apis.common import build_model_and_anchors, init_variables
+    from radet_tpu.apis.test import _eval_mesh, test_from_config
+    from radet_tpu.utils import Config
+
+    root = tmp_path / "bop"
+    make_synthetic_bop(
+        str(root), num_scenes=1, images_per_scene=4, img_hw=(128, 160),
+        num_classes=3,
+    )
+    cfg_path = _write_tiny_cfg(tmp_path, str(root))
+    with open(cfg_path, "a") as f:
+        f.write("\nparallel = dict(space=2)\n")
+    cfg = Config.fromfile(cfg_path)
+
+    mesh = _eval_mesh(cfg, batch_size=4)
+    assert mesh.shape == {"data": 4, "space": 2}
+
+    model, *_ = build_model_and_anchors(cfg)
+    variables = init_variables(model, tuple(cfg.input_size))
+    dataset, results, metrics = test_from_config(
+        cfg, variables, split="test", batch_size=4
+    )
+    assert len(results) == len(dataset) == 4
+    assert "bbox_mAP" in metrics
+
+
+@pytest.mark.slow
 def test_train_detector_with_space_config(tmp_path):
     """Config knob: cfg.parallel = dict(space=2) trains end-to-end through
     train_detector on a (4, 2) mesh."""
