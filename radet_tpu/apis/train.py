@@ -126,6 +126,8 @@ def train_detector(
         )
     else:
         n_dev = len(jax.devices())
+        if space > n_dev:
+            raise ValueError(f"parallel.space={space} exceeds {n_dev} devices")
         # the data axis must divide the batch; with spatial partitioning the
         # device count is dp*space, of which only dp consumes batch rows
         dp = max(
