@@ -970,6 +970,12 @@ _TRANSFORMS = {
     "SampleDistanceAtAnchors": SampleDistanceAtAnchors,
 }
 
+from . import auto_augment as _auto_augment  # noqa: E402  (needs _TRANSFORMS above)
+from . import instaboost as _instaboost  # noqa: E402
+
+_TRANSFORMS.update(_auto_augment.TRANSFORMS)
+_TRANSFORMS["InstaBoost"] = _instaboost.InstaBoost
+
 
 class Compose:
     def __init__(self, transforms: Sequence):
