@@ -102,11 +102,23 @@ def build_dataset(cfg, split: str, test_mode: bool | None = None):
 def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
     """``input_size`` overrides cfg.input_size (used by multi-scale TTA views,
     where every scale needs its own static padded resolution)."""
+    from ..data.datasets_extra import DATASET_TYPES, XMLDataset
+
+    ds_type = data_cfg.get("type", "BOPDataset")
+    if ds_type not in DATASET_TYPES:
+        raise KeyError(
+            f"unknown dataset type {ds_type!r}; available: "
+            f"{sorted(DATASET_TYPES)} plus the wrapper types"
+        )
+    ds_cls = DATASET_TYPES[ds_type]
+    extra = {}
+    if issubclass(ds_cls, XMLDataset) and "min_size" in data_cfg:
+        extra["min_size"] = data_cfg["min_size"]
     la_cfg = assignment_cfg_from(cfg)
     max_gt = int(la_cfg.get("max_gt", 32)) if la_cfg is not None else 32
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
     img_norm = cfg.get("img_norm_cfg")
-    return BOPDataset(
+    return ds_cls(
         ann_file=data_cfg["ann_file"],
         img_prefix=data_cfg.get("img_prefix", ""),
         seg_prefix=data_cfg.get("seg_prefix"),
@@ -120,6 +132,7 @@ def _build_bop(cfg, data_cfg, test_mode: bool, input_size=None) -> BOPDataset:
         anchor_cfg=anchor_cfg_from_model(model_cfg, la_cfg),
         img_norm=img_norm.to_dict() if img_norm is not None else None,
         orientation=data_cfg.get("orientation"),
+        **extra,
     )
 
 

@@ -456,7 +456,14 @@ def evaluate_results(
     """COCO bbox evaluation with the reference's protocol (bop.py:120-302).
 
     ``classwise`` adds per-class AP entries (the reference's
-    ``--eval-options classwise=True``)."""
+    ``--eval-options classwise=True``).
+
+    Datasets with their own evaluation protocol (VOCDataset's mean-AP,
+    reference voc.py:28-93) are delegated to; KITTI-style datasets force
+    classwise AP on via an ``EVAL_DEFAULTS`` attribute (kitti.py:9-26)."""
+    if hasattr(type(dataset), "evaluate"):
+        return dataset.evaluate(results, classwise=classwise)
+    classwise = getattr(dataset, "EVAL_DEFAULTS", {}).get("classwise", classwise)
     coco_results = dataset.det2json(results)
     evaluator = COCOEvaluator(
         dataset.coco, cat_ids=dataset.cat_ids, img_ids=dataset.img_ids

@@ -129,11 +129,17 @@ class BOPDataset:
         anns = self.coco.get_anns(img_info["id"])
         filename = img_info["filename"]
         parts = filename.rsplit("/", 3)
-        scene_id = int(parts[-3]) if len(parts) >= 3 else 0
-        img_id_in_scene = int(osp.splitext(parts[-1])[0])
+        try:
+            # BOP layout: {scene:06d}/rgb/{img:06d}.png; non-BOP datasets
+            # (VOC/COCO/LVIS presets, data/datasets_extra.py) have arbitrary
+            # paths and no scene structure
+            scene_id = int(parts[-3]) if len(parts) >= 3 else 0
+            img_id_in_scene = int(osp.splitext(parts[-1])[0])
+        except ValueError:
+            scene_id, img_id_in_scene = 0, 0
 
         gt_bboxes, gt_labels, gt_masks, gt_bboxes_ignore = [], [], [], []
-        gt_polys, gt_masks_idx = [], []
+        gt_labels_ignore, gt_polys, gt_masks_idx = [], [], []
         for i, ann in enumerate(anns):
             if ann.get("ignore", False):
                 continue
@@ -147,8 +153,15 @@ class BOPDataset:
             if ann["category_id"] not in self.cat2label:
                 continue
             bbox = [x1, y1, x1 + w, y1 + h]
-            if ann.get("visib_fract", 1.0) < self.min_visib_frac:
+            # 'difficult' objects (VOC XML datasets, reference
+            # xml_style.py:117-124) are ignore regions like below-visib-fract
+            # BOP instances
+            if (
+                ann.get("visib_fract", 1.0) < self.min_visib_frac
+                or ann.get("difficult", 0)
+            ):
                 gt_bboxes_ignore.append(bbox)
+                gt_labels_ignore.append(self.cat2label[ann["category_id"]])
             else:
                 gt_bboxes.append(bbox)
                 gt_labels.append(self.cat2label[ann["category_id"]])
@@ -160,6 +173,7 @@ class BOPDataset:
             bboxes=np.asarray(gt_bboxes, np.float32).reshape(-1, 4),
             labels=np.asarray(gt_labels, np.int64),
             bboxes_ignore=np.asarray(gt_bboxes_ignore, np.float32).reshape(-1, 4),
+            labels_ignore=np.asarray(gt_labels_ignore, np.int64),
             masks=gt_masks,
             # packed alternative (tools/pack_masks.py): ONE instance-id map
             # per image; per-GT original ann index selects the id channel

@@ -13,15 +13,26 @@ from typing import Any, Dict, List, Optional, Sequence
 
 
 class CocoIndex:
-    def __init__(self, ann_file: str):
-        with open(ann_file) as f:
-            data = json.load(f)
+    def __init__(self, ann_file):
+        """``ann_file``: a json path, or an already-built COCO-format dict
+        (the XML-style datasets convert PASCAL annotations in memory,
+        data/datasets_extra.py)."""
+        if isinstance(ann_file, dict):
+            data = ann_file
+        else:
+            with open(ann_file) as f:
+                data = json.load(f)
         self.dataset = data
         for img in data.get("images", []):
             # normalize the COCO 'file_name' key (the reference CocoDataset
             # aliases it to 'filename', coco.py:77)
             if "filename" not in img and "file_name" in img:
                 img["filename"] = img["file_name"]
+            elif "filename" not in img and "coco_url" in img:
+                # LVIS v1 images carry only coco_url (reference
+                # lvis.py:736-739): strip the host to get the split-relative
+                # path, e.g. 'val2017/000000397133.jpg'
+                img["filename"] = "/".join(img["coco_url"].rsplit("/", 2)[-2:])
         self.imgs: Dict[int, dict] = {img["id"]: img for img in data.get("images", [])}
         self.cats: Dict[int, dict] = {c["id"]: c for c in data.get("categories", [])}
         self.img_to_anns: Dict[int, List[dict]] = {img_id: [] for img_id in self.imgs}

@@ -83,7 +83,8 @@ class COCOEvaluator:
         xywh, score). Returns the reference summary keys (bop.py:284-299)."""
         dt_by_img_cat: Dict = defaultdict(list)
         for r in results:
-            dt_by_img_cat[(r["image_id"], r["category_id"])].append(r)
+            if self._use_detection(r):
+                dt_by_img_cat[(r["image_id"], r["category_id"])].append(r)
 
         T = len(self.iou_thrs)
         R = len(self.rec_thrs)
@@ -105,16 +106,16 @@ class COCOEvaluator:
                         per_img, area, max_det, precision[:, :, k, a, m], recall[:, k, a, m]
                     )
 
-        def _ap(t_slice=slice(None), area="all", max_det=100):
+        def _ap(t_slice=slice(None), area="all", max_det=None):
             a = self.area_labels.index(area)
-            m = self.max_dets.index(max_det)
+            m = self.max_dets.index(max_det if max_det is not None else self.max_dets[-1])
             p = precision[t_slice, :, :, a, m]
             p = p[p > -1]
             return float(p.mean()) if p.size else -1.0
 
-        def _ar(t_slice=slice(None), area="all", max_det=100):
+        def _ar(t_slice=slice(None), area="all", max_det=None):
             a = self.area_labels.index(area)
-            m = self.max_dets.index(max_det)
+            m = self.max_dets.index(max_det if max_det is not None else self.max_dets[-1])
             r = recall[t_slice, :, a, m]
             r = r[r > -1]
             return float(r.mean()) if r.size else -1.0
@@ -159,6 +160,16 @@ class COCOEvaluator:
         return out
 
     # ------------------------------------------------------------------
+    # Protocol hooks (overridden by the LVIS federated protocol,
+    # evaluation/lvis_eval.py)
+    def _use_detection(self, r: dict) -> bool:
+        return True
+
+    def _dt_unmatched_ignore(self, img_id: int, cat_id: int, num_dt: int) -> np.ndarray:
+        """(D,) mask of unmatched detections to ignore beyond area range."""
+        return np.zeros(num_dt, bool)
+
+    # ------------------------------------------------------------------
     def _match_img(self, img_id: int, cat_id: int, dt_by_img_cat) -> dict:
         gts = self._gt_by_img_cat.get((img_id, cat_id), [])
         dts = dt_by_img_cat.get((img_id, cat_id), [])
@@ -180,6 +191,7 @@ class COCOEvaluator:
 
         ious = iou_xywh(dt_boxes, gt_boxes, gt_crowd)
         T = len(self.iou_thrs)
+        extra_ig = self._dt_unmatched_ignore(img_id, cat_id, len(dts))
 
         per_area = {}
         for area in self.area_labels:
@@ -214,9 +226,10 @@ class COCOEvaluator:
                     dt_ig[t, d] = gt_ig_sorted[match]
                     dtm[t, d] = match
                     gtm[t, match] = d
-                # unmatched dts outside the area range are ignored
+                # unmatched dts outside the area range are ignored (plus any
+                # protocol-specific reason, e.g. LVIS not-exhaustive images)
                 out_rng = (dt_area < lo) | (dt_area > hi)
-                dt_ig[t] |= (dtm[t] == -1) & out_rng
+                dt_ig[t] |= (dtm[t] == -1) & (out_rng | extra_ig)
             per_area[area] = dict(
                 dtm=dtm,
                 dt_ig=dt_ig,
