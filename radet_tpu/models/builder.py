@@ -28,7 +28,9 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     elif isinstance(dtype, str):
         dtype = _DTYPES[dtype]
     btype = backbone.get("type", "ResNet")
-    assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), f"unknown backbone type {btype}"
+    assert btype in ("ResNet", "ResNetV1d", "ResNeXt", "Res2Net"), (
+        f"unknown backbone type {btype}"
+    )
     ntype = neck.get("type", "FPN")
     assert ntype in ("FPN", "ChannelMapper"), f"unknown neck type {ntype}"
     # fail fast on silently-unsupported neck options (config-surface
@@ -41,7 +43,9 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         f"unsupported neck norm_cfg {neck.get('norm_cfg')!r} (norm-free necks "
         "only, matching the reference BOP configs)"
     )
-    v1d = btype == "ResNetV1d"
+    # Res2Net pins V1d-style deep stem + avg-down (reference res2net.py:330-333)
+    v1d = btype in ("ResNetV1d", "Res2Net")
+    res2 = btype == "Res2Net"
     return RADet(
         num_classes=head["num_classes"],
         depth=backbone.get("depth", 50),
@@ -49,7 +53,8 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         frozen_stages=backbone.get("frozen_stages", 1),
         norm_eval=backbone.get("norm_eval", True),
         groups=backbone.get("groups", 1) if btype == "ResNeXt" else 1,
-        base_width=backbone.get("base_width", 4),
+        base_width=backbone.get("base_width", 26 if res2 else 4),
+        scales=backbone.get("scales", 4) if res2 else 1,
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),

@@ -42,6 +42,7 @@ class RADet(nn.Module):
     deep_stem: bool = False  # ResNetV1d
     avg_down: bool = False
     stem_s2d: bool = False  # space-to-depth stem (resnet.StemConvS2D)
+    scales: int = 1  # Res2Net scale count (>1 enables Bottle2neck)
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -65,6 +66,7 @@ class RADet(nn.Module):
             deep_stem=self.deep_stem,
             avg_down=self.avg_down,
             stem_s2d=self.stem_s2d,
+            scales=self.scales,
             dtype=self.dtype,
             name="backbone",
         )

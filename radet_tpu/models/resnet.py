@@ -197,6 +197,67 @@ class Bottleneck(nn.Module):
         return nn.relu(out + identity)
 
 
+class Bottle2neck(nn.Module):
+    """Res2Net block (reference models/backbones/res2net.py:17-163).
+
+    The 3x3 stage splits into ``scales`` channel groups: group 0 goes
+    through convs_0; each later group adds the previous group's output
+    before its conv ('normal' blocks) or starts fresh ('stage' blocks — the
+    first block of each layer, res2net.py:118-127); the last group passes
+    through raw (or 3x3 avg-pooled when the stage strides).  Res2Net pins
+    the V1d-style deep stem and avg-down downsample (res2net.py:330-333),
+    so the downsample here is always AvgPool + stride-1 1x1.
+
+    TPU note: the per-group 3x3 convs are width-26..208 channel convs — XLA
+    fuses the adds/concats into the conv epilogues; the concat feeds one
+    big 1x1 (MXU-friendly).
+    """
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+    scales: int = 4
+    base_width: int = 26
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        width = self.planes * self.base_width // 64  # base_channels=64
+        out = _conv(width * self.scales, 1, 1, name="conv1", dtype=self.dtype)(x)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
+        out = nn.relu(out)
+
+        # 'stage' blocks are the per-layer first blocks (built with a
+        # downsample in Res2Layer, res2net.py:216-228)
+        stage = self.has_downsample
+        spx = jnp.split(out, self.scales, axis=-1)
+        sps = []
+        for i in range(self.scales - 1):
+            inp = spx[i] if (stage or i == 0) else sps[-1] + spx[i]
+            sp = _conv(width, 3, self.stride, name=f"convs_{i}", dtype=self.dtype)(inp)
+            sp = FrozenAwareBN(self.dtype, self.norm_eval, name=f"bns_{i}")(sp, train)
+            sps.append(nn.relu(sp))
+        if stage and self.stride != 1:
+            # torch AvgPool2d(3, stride, padding=1) (count_include_pad=True)
+            last = nn.avg_pool(
+                spx[-1], (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)),
+            )
+        else:
+            last = spx[-1]
+        out = jnp.concatenate(sps + [last], axis=-1)
+
+        out = _conv(self.planes * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
+        if self.has_downsample:
+            identity = _conv(self.planes * 4, 1, 1, name="downsample_conv",
+                             dtype=self.dtype)(_avg_down(x, self.stride))
+            identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -239,6 +300,7 @@ class ResNet(nn.Module):
     deep_stem: bool = False  # V1d: three 3x3 convs replace the 7x7 stem
     avg_down: bool = False  # V1d: AvgPool-based residual downsampling
     stem_s2d: bool = False  # space-to-depth stem (see StemConvS2D)
+    scales: int = 1  # >1: Res2Net Bottle2neck (with base_width, e.g. 26)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -273,17 +335,24 @@ class ResNet(nn.Module):
             width = ((planes * self.base_width // 64) * self.groups
                      if self.groups > 1 else 0)
             for b in range(num_blocks):
-                x = block_cls(
+                common = dict(
                     planes=planes,
                     stride=stride if b == 0 else 1,
                     has_downsample=(b == 0 and (stride != 1 or channels != planes * expansion)),
                     dtype=self.dtype,
                     norm_eval=self.norm_eval,
-                    groups=self.groups,
-                    width=width,
-                    avg_down=self.avg_down,
                     name=f"layer{stage_idx + 1}_{b}",
-                )(x, train)
+                )
+                if self.scales > 1:
+                    assert block_kind == "bottleneck", "Res2Net needs depth>=50"
+                    x = Bottle2neck(
+                        scales=self.scales, base_width=self.base_width, **common
+                    )(x, train)
+                else:
+                    x = block_cls(
+                        groups=self.groups, width=width, avg_down=self.avg_down,
+                        **common,
+                    )(x, train)
                 channels = planes * expansion
             if self.frozen_stages >= stage_idx + 1 and train:
                 x = jax.lax.stop_gradient(x)

@@ -73,11 +73,50 @@ class TorchBottleneckX(tnn.Module):
         return self.relu(out + idn)
 
 
-class TorchVariantResNet(tnn.Module):
-    """mmcv-layout ResNet with deep_stem / avg_down / groups options."""
+class TorchBottle2neck(tnn.Module):
+    """mmcv Res2Net Bottle2neck transcription (reference res2net.py:17-163)."""
 
-    def __init__(self, depth, deep_stem=False, avg_down=False, groups=1, base_width=4):
+    def __init__(self, inplanes, planes, stride=1, downsample=None, scales=4, base_width=26):
         super().__init__()
+        width = planes * base_width // 64
+        self.width, self.scales = width, scales
+        self.stage = downsample is not None
+        self.conv1 = tnn.Conv2d(inplanes, width * scales, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width * scales)
+        self.convs = tnn.ModuleList(
+            [tnn.Conv2d(width, width, 3, stride=stride, padding=1, bias=False)
+             for _ in range(scales - 1)]
+        )
+        self.bns = tnn.ModuleList([tnn.BatchNorm2d(width) for _ in range(scales - 1)])
+        self.pool = tnn.AvgPool2d(3, stride=stride, padding=1) if (self.stage and stride != 1) else None
+        self.conv3 = tnn.Conv2d(width * scales, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        spx = torch.split(out, self.width, 1)
+        sp = self.relu(self.bns[0](self.convs[0](spx[0])))
+        cat = sp
+        for i in range(1, self.scales - 1):
+            sp_in = spx[i] if self.stage else sp + spx[i]
+            sp = self.relu(self.bns[i](self.convs[i](sp_in)))
+            cat = torch.cat((cat, sp), 1)
+        last = self.pool(spx[-1]) if self.pool is not None else spx[-1]
+        out = self.bn3(self.conv3(torch.cat((cat, last), 1)))
+        if self.downsample is not None:
+            idn = self.downsample(x)
+        return self.relu(out + idn)
+
+
+class TorchVariantResNet(tnn.Module):
+    """mmcv-layout ResNet with deep_stem / avg_down / groups / scales options."""
+
+    def __init__(self, depth, deep_stem=False, avg_down=False, groups=1, base_width=4, scales=1):
+        super().__init__()
+        self.scales = scales
         arch = {18: ("basic", (2, 2, 2, 2)), 50: ("bottleneck", (3, 4, 6, 3))}[depth]
         self.block_kind, stage_blocks = arch
         self.deep_stem = deep_stem
@@ -114,11 +153,16 @@ class TorchVariantResNet(tnn.Module):
             if self.avg_down:
                 mods.insert(0, tnn.AvgPool2d(stride, stride, ceil_mode=True, count_include_pad=False))
             downsample = tnn.Sequential(*mods)
-        mk = (
-            (lambda inp, pl, st, ds: TorchBottleneckX(inp, pl, st, ds, self.groups, self.base_width))
-            if self.block_kind == "bottleneck"
-            else TorchBasicBlock
-        )
+        if self.scales > 1:
+            mk = lambda inp, pl, st, ds: TorchBottle2neck(  # noqa: E731
+                inp, pl, st, ds, self.scales, self.base_width
+            )
+        elif self.block_kind == "bottleneck":
+            mk = lambda inp, pl, st, ds: TorchBottleneckX(  # noqa: E731
+                inp, pl, st, ds, self.groups, self.base_width
+            )
+        else:
+            mk = TorchBasicBlock
         expansion_planes = planes * expansion
         layers = [mk(self.inplanes, planes, stride, downsample)]
         self.inplanes = expansion_planes
@@ -165,6 +209,7 @@ def _convert_to_flax_vars(tmodel, fmodel, x_shape):
         (18, dict(deep_stem=True, avg_down=True)),  # ResNetV1d-18
         (50, dict(groups=32, base_width=4)),  # ResNeXt-50 32x4d
         (50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4)),  # ResNeSt-style combo
+        (50, dict(deep_stem=True, avg_down=True, scales=4, base_width=26)),  # Res2Net-50
     ],
 )
 def test_variant_forward_parity(depth, kwargs, rng):
@@ -202,6 +247,7 @@ def test_builder_backbone_types():
     for backbone in (
         dict(type="ResNetV1d", depth=18),
         dict(type="ResNeXt", depth=50, groups=32, base_width=4),
+        dict(type="Res2Net", depth=50),  # defaults: scales=4, base_width=26
     ):
         model = build_detector(
             dict(

@@ -77,6 +77,14 @@ def convert_resnet(sd, out, torch_prefix=""):
                 continue  # basic blocks have conv1/conv2 only
             out[("params",) + fp + (f"conv{ci}", "kernel")] = t2f_conv(sd[wkey])
             _bn(out, fp + (f"bn{ci}",), sd, tp + f"bn{ci}")
+        # Res2Net Bottle2neck per-scale 3x3s: convs.{i}/bns.{i} ModuleLists
+        si = 0
+        while tp + f"convs.{si}.weight" in sd:
+            out[("params",) + fp + (f"convs_{si}", "kernel")] = t2f_conv(
+                sd[tp + f"convs.{si}.weight"]
+            )
+            _bn(out, fp + (f"bns_{si}",), sd, tp + f"bns.{si}")
+            si += 1
         if tp + "downsample.0.weight" in sd:
             out[("params",) + fp + ("downsample_conv", "kernel")] = t2f_conv(
                 sd[tp + "downsample.0.weight"]
