@@ -28,9 +28,12 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     elif isinstance(dtype, str):
         dtype = _DTYPES[dtype]
     btype = backbone.get("type", "ResNet")
-    assert btype in ("ResNet", "ResNetV1d", "ResNeXt", "Res2Net"), (
+    assert btype in ("ResNet", "ResNetV1d", "ResNeXt", "Res2Net", "RegNet"), (
         f"unknown backbone type {btype}"
     )
+    if btype == "RegNet":
+        arch = backbone["arch"]
+        assert isinstance(arch, str), "RegNet arch must be a named preset"
     ntype = neck.get("type", "FPN")
     assert ntype in ("FPN", "ChannelMapper"), f"unknown neck type {ntype}"
     # fail fast on silently-unsupported neck options (config-surface
@@ -55,6 +58,7 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         groups=backbone.get("groups", 1) if btype == "ResNeXt" else 1,
         base_width=backbone.get("base_width", 26 if res2 else 4),
         scales=backbone.get("scales", 4) if res2 else 1,
+        regnet_arch=backbone.get("arch", "") if btype == "RegNet" else "",
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),

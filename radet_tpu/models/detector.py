@@ -15,7 +15,7 @@ import jax.numpy as jnp
 
 from .fpn import FPN, ChannelMapper
 from .radet_head import RADetHead
-from .resnet import ResNet
+from .resnet import RegNet, ResNet
 
 Dtype = Any
 
@@ -43,6 +43,7 @@ class RADet(nn.Module):
     avg_down: bool = False
     stem_s2d: bool = False  # space-to-depth stem (resnet.StemConvS2D)
     scales: int = 1  # Res2Net scale count (>1 enables Bottle2neck)
+    regnet_arch: str = ""  # non-empty: RegNet backbone (e.g. 'regnetx_3.2gf')
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -56,7 +57,21 @@ class RADet(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet(
+        if self.regnet_arch:
+            self.backbone = RegNet(
+                arch=self.regnet_arch,
+                out_indices=self.out_indices,
+                frozen_stages=self.frozen_stages,
+                norm_eval=self.norm_eval,
+                dtype=self.dtype,
+                name="backbone",
+            )
+        else:
+            self.backbone = self._resnet()
+        self._setup_neck_head()
+
+    def _resnet(self):
+        return ResNet(
             depth=self.depth,
             out_indices=self.out_indices,
             frozen_stages=self.frozen_stages,
@@ -70,6 +85,8 @@ class RADet(nn.Module):
             dtype=self.dtype,
             name="backbone",
         )
+
+    def _setup_neck_head(self):
         if self.neck_type == "FPN":
             self.neck = FPN(
                 out_channels=self.fpn_out_channels,

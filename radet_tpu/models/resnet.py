@@ -174,6 +174,7 @@ class Bottleneck(nn.Module):
     groups: int = 1  # ResNeXt cardinality (grouped 3x3 conv)
     width: int = 0  # mid channels; 0 -> planes (plain ResNet)
     avg_down: bool = False  # V1d: AvgPool + stride-1 1x1 downsample
+    expansion: int = 4  # output channels = planes * expansion (RegNet uses 1)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -187,11 +188,12 @@ class Bottleneck(nn.Module):
                     groups=self.groups)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
         out = nn.relu(out)
-        out = _conv(self.planes * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = _conv(self.planes * self.expansion, 1, 1, name="conv3", dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
         if self.has_downsample:
             ds_in = _avg_down(x, self.stride) if self.avg_down else x
-            identity = _conv(self.planes * 4, 1, 1 if self.avg_down else self.stride,
+            identity = _conv(self.planes * self.expansion, 1,
+                             1 if self.avg_down else self.stride,
                              name="downsample_conv", dtype=self.dtype)(ds_in)
             identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
@@ -282,6 +284,110 @@ class BasicBlock(nn.Module):
                              name="downsample_conv", dtype=self.dtype)(ds_in)
             identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
         return nn.relu(out + identity)
+
+
+REGNET_ARCH = {
+    # RegNetX quantized-linear width parameters
+    # (reference models/backbones/regnet.py:65-82 arch_settings)
+    "regnetx_400mf": dict(w0=24, wa=24.48, wm=2.54, group_w=16, depth=22, bot_mul=1.0),
+    "regnetx_800mf": dict(w0=56, wa=35.73, wm=2.28, group_w=16, depth=16, bot_mul=1.0),
+    "regnetx_1.6gf": dict(w0=80, wa=34.01, wm=2.25, group_w=24, depth=18, bot_mul=1.0),
+    "regnetx_3.2gf": dict(w0=88, wa=26.31, wm=2.25, group_w=48, depth=25, bot_mul=1.0),
+    "regnetx_4.0gf": dict(w0=96, wa=38.65, wm=2.43, group_w=40, depth=23, bot_mul=1.0),
+    "regnetx_6.4gf": dict(w0=184, wa=60.83, wm=2.07, group_w=56, depth=17, bot_mul=1.0),
+    "regnetx_8.0gf": dict(w0=80, wa=49.56, wm=2.88, group_w=120, depth=23, bot_mul=1.0),
+    "regnetx_12gf": dict(w0=168, wa=73.36, wm=2.37, group_w=112, depth=19, bot_mul=1.0),
+}
+
+
+def regnet_stage_params(arch: dict, divisor: int = 8):
+    """Per-stage (widths, blocks, bottleneck widths, groups) from RegNet
+    parameters (reference regnet.py:221-311: generate_regnet +
+    adjust_width_group + get_stages_from_blocks).
+
+    Pure python/numpy — runs at module-construction (trace) time, so the
+    network itself stays fully static for XLA.
+    """
+    import numpy as np
+
+    w0, wa, wm, depth = arch["w0"], arch["wa"], arch["wm"], arch["depth"]
+    widths_cont = np.arange(depth) * wa + w0
+    ks = np.round(np.log(widths_cont / w0) / np.log(wm))
+    widths = np.round(w0 * np.power(wm, ks) / divisor) * divisor
+    widths = widths.astype(int).tolist()
+    # contiguous equal-width runs become stages
+    stage_widths, stage_blocks = [], []
+    for w in widths:
+        if stage_widths and stage_widths[-1] == w:
+            stage_blocks[-1] += 1
+        else:
+            stage_widths.append(w)
+            stage_blocks.append(1)
+    bot_mul, group_w = arch["bot_mul"], arch["group_w"]
+    bot_widths, groups, out_widths = [], [], []
+    for w in stage_widths:
+        wb = int(w * bot_mul)
+        g = min(group_w, wb)
+        wb = int(round(wb / g) * g)  # quantize to the group width
+        bot_widths.append(wb)
+        groups.append(wb // g)
+        out_widths.append(int(wb / bot_mul))
+    return out_widths, stage_blocks, bot_widths, groups
+
+
+class RegNet(nn.Module):
+    """RegNetX backbone (reference models/backbones/regnet.py).
+
+    Differences from ResNet it inherits there: a bare 3x3/2 stem with NO
+    maxpool (regnet.py:207-219), every stage strides 2 (strides=(2,2,2,2)),
+    Bottleneck expansion 1 with per-stage widths/groups from the quantized
+    linear width function.  Output strides are (4, 8, 16, 32), same as
+    ResNet, so the FPN stacks on top unchanged.  mmcv checkpoints convert
+    through the same layerX.Y naming (tools/convert_torch_weights.py).
+    """
+
+    arch: str = "regnetx_3.2gf"
+    out_indices: Tuple[int, ...] = (0, 1, 2, 3)
+    frozen_stages: int = 1
+    norm_eval: bool = True
+    dtype: Dtype = jnp.float32
+    stem_channels: int = 32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        arch = REGNET_ARCH[self.arch] if isinstance(self.arch, str) else dict(self.arch)
+        stage_widths, stage_blocks, bot_widths, groups = regnet_stage_params(arch)
+
+        x = x.astype(self.dtype)
+        x = _conv(self.stem_channels, 3, 2, name="conv1", dtype=self.dtype)(x)
+        x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
+        x = nn.relu(x)
+        if self.frozen_stages >= 0 and train:
+            x = jax.lax.stop_gradient(x)
+
+        outs = []
+        channels = self.stem_channels
+        for stage_idx, num_blocks in enumerate(stage_blocks):
+            planes = stage_widths[stage_idx]
+            for b in range(num_blocks):
+                stride = 2 if b == 0 else 1
+                x = Bottleneck(
+                    planes=planes,
+                    stride=stride,
+                    has_downsample=(b == 0 and (stride != 1 or channels != planes)),
+                    dtype=self.dtype,
+                    norm_eval=self.norm_eval,
+                    groups=groups[stage_idx],
+                    width=bot_widths[stage_idx],
+                    expansion=1,
+                    name=f"layer{stage_idx + 1}_{b}",
+                )(x, train)
+                channels = planes
+            if self.frozen_stages >= stage_idx + 1 and train:
+                x = jax.lax.stop_gradient(x)
+            if stage_idx in self.out_indices:
+                outs.append(x)
+        return tuple(outs)
 
 
 class ResNet(nn.Module):

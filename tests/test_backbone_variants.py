@@ -238,6 +238,98 @@ def test_variant_forward_parity(depth, kwargs, rng):
         np.testing.assert_allclose(f, t, rtol=1e-4, atol=1e-4)
 
 
+class TorchRegNet(tnn.Module):
+    """mmcv-layout RegNetX transcription (reference regnet.py:84-320):
+    bare 3x3/2 stem (no maxpool), expansion-1 bottlenecks with per-stage
+    widths/groups, every stage stride 2."""
+
+    def __init__(self, arch_name, stem_channels=32):
+        super().__init__()
+        from radet_tpu.models.resnet import REGNET_ARCH, regnet_stage_params
+
+        widths, blocks, bot_widths, groups = regnet_stage_params(REGNET_ARCH[arch_name])
+        self.conv1 = tnn.Conv2d(3, stem_channels, 3, stride=2, padding=1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(stem_channels)
+        self.relu = tnn.ReLU()
+        inplanes = stem_channels
+        self.num_stages = len(blocks)
+        for s, (w, n, wb, g) in enumerate(zip(widths, blocks, bot_widths, groups)):
+            layers = []
+            for b in range(n):
+                stride = 2 if b == 0 else 1
+                downsample = None
+                if b == 0 and (stride != 1 or inplanes != w):
+                    downsample = tnn.Sequential(
+                        tnn.Conv2d(inplanes, w, 1, stride=stride, bias=False),
+                        tnn.BatchNorm2d(w),
+                    )
+                block = tnn.Module()
+                block.conv1 = tnn.Conv2d(inplanes, wb, 1, bias=False)
+                block.bn1 = tnn.BatchNorm2d(wb)
+                block.conv2 = tnn.Conv2d(wb, wb, 3, stride=stride, padding=1, groups=g, bias=False)
+                block.bn2 = tnn.BatchNorm2d(wb)
+                block.conv3 = tnn.Conv2d(wb, w, 1, bias=False)
+                block.bn3 = tnn.BatchNorm2d(w)
+                block.downsample = downsample
+                layers.append(block)
+                inplanes = w
+            setattr(self, f"layer{s + 1}", tnn.ModuleList(layers))
+
+    def forward(self, x):
+        relu = self.relu
+        x = relu(self.bn1(self.conv1(x)))
+        outs = []
+        for s in range(self.num_stages):
+            for blk in getattr(self, f"layer{s + 1}"):
+                idn = x
+                out = relu(blk.bn1(blk.conv1(x)))
+                out = relu(blk.bn2(blk.conv2(out)))
+                out = blk.bn3(blk.conv3(out))
+                if blk.downsample is not None:
+                    idn = blk.downsample(x)
+                x = relu(out + idn)
+            outs.append(x)
+        return outs
+
+
+def test_regnet_stage_params_match_published():
+    """Generator output vs the published pycls RegNetX model specs."""
+    from radet_tpu.models.resnet import REGNET_ARCH, regnet_stage_params
+
+    widths, blocks, _, groups = regnet_stage_params(REGNET_ARCH["regnetx_400mf"])
+    assert widths == [32, 64, 160, 384]
+    assert blocks == [1, 2, 7, 12]
+    widths32, blocks32, _, _ = regnet_stage_params(REGNET_ARCH["regnetx_3.2gf"])
+    assert widths32 == [96, 192, 432, 1008]
+    assert blocks32 == [2, 6, 15, 2]
+
+
+def test_regnet_forward_parity(rng):
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import RegNet
+
+    torch.manual_seed(7)
+    tmodel = TorchRegNet("regnetx_400mf")
+    with torch.no_grad():
+        _randomize_bn(tmodel, np.random.RandomState(3))
+    tmodel.eval()
+
+    fmodel = RegNet(arch="regnetx_400mf", out_indices=(0, 1, 2, 3), norm_eval=True)
+    x = rng.rand(2, 68, 84, 3).astype(np.float32) * 4 - 2
+    variables = _convert_to_flax_vars(tmodel, fmodel, (1,) + x.shape[1:])
+
+    with torch.no_grad():
+        t_outs = tmodel(torch.tensor(x.transpose(0, 3, 1, 2)))
+    f_outs = fmodel.apply(variables, jnp.asarray(x), train=False)
+    assert len(t_outs) == len(f_outs) == 4
+    for i, (t, f) in enumerate(zip(t_outs, f_outs)):
+        t = t.numpy().transpose(0, 2, 3, 1)
+        f = np.asarray(f)
+        assert t.shape == f.shape, (i, t.shape, f.shape)
+        np.testing.assert_allclose(f, t, rtol=1e-4, atol=1e-4)
+
+
 def test_builder_backbone_types():
     import jax
     import jax.numpy as jnp
@@ -248,6 +340,7 @@ def test_builder_backbone_types():
         dict(type="ResNetV1d", depth=18),
         dict(type="ResNeXt", depth=50, groups=32, base_width=4),
         dict(type="Res2Net", depth=50),  # defaults: scales=4, base_width=26
+        dict(type="RegNet", arch="regnetx_400mf"),
     ):
         model = build_detector(
             dict(
