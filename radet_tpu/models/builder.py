@@ -28,9 +28,9 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     elif isinstance(dtype, str):
         dtype = _DTYPES[dtype]
     btype = backbone.get("type", "ResNet")
-    assert btype in ("ResNet", "ResNetV1d", "ResNeXt", "Res2Net", "RegNet"), (
-        f"unknown backbone type {btype}"
-    )
+    assert btype in (
+        "ResNet", "ResNetV1d", "ResNeXt", "Res2Net", "RegNet", "ResNeSt"
+    ), f"unknown backbone type {btype}"
     if btype == "RegNet":
         arch = backbone["arch"]
         assert isinstance(arch, str), "RegNet arch must be a named preset"
@@ -46,18 +46,23 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         f"unsupported neck norm_cfg {neck.get('norm_cfg')!r} (norm-free necks "
         "only, matching the reference BOP configs)"
     )
-    # Res2Net pins V1d-style deep stem + avg-down (reference res2net.py:330-333)
-    v1d = btype in ("ResNetV1d", "Res2Net")
+    # Res2Net pins V1d-style deep stem + avg-down (reference res2net.py:330-333);
+    # ResNeSt extends ResNetV1d (resnest.py:271)
+    v1d = btype in ("ResNetV1d", "Res2Net", "ResNeSt")
     res2 = btype == "Res2Net"
+    nest = btype == "ResNeSt"
     return RADet(
         num_classes=head["num_classes"],
         depth=backbone.get("depth", 50),
         out_indices=tuple(backbone.get("out_indices", (0, 1, 2, 3))),
         frozen_stages=backbone.get("frozen_stages", 1),
         norm_eval=backbone.get("norm_eval", True),
-        groups=backbone.get("groups", 1) if btype == "ResNeXt" else 1,
+        groups=backbone.get("groups", 1) if btype in ("ResNeXt", "ResNeSt") else 1,
         base_width=backbone.get("base_width", 26 if res2 else 4),
         scales=backbone.get("scales", 4) if res2 else 1,
+        radix=backbone.get("radix", 2) if nest else 0,
+        reduction_factor=backbone.get("reduction_factor", 4),
+        avg_down_stride=backbone.get("avg_down_stride", True),
         regnet_arch=backbone.get("arch", "") if btype == "RegNet" else "",
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),

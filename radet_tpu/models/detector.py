@@ -43,6 +43,9 @@ class RADet(nn.Module):
     avg_down: bool = False
     stem_s2d: bool = False  # space-to-depth stem (resnet.StemConvS2D)
     scales: int = 1  # Res2Net scale count (>1 enables Bottle2neck)
+    radix: int = 0  # ResNeSt split-attention radix (>0 enables it)
+    reduction_factor: int = 4  # ResNeSt gate squeeze
+    avg_down_stride: bool = True  # ResNeSt stride-by-pool
     regnet_arch: str = ""  # non-empty: RegNet backbone (e.g. 'regnetx_3.2gf')
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
@@ -82,6 +85,9 @@ class RADet(nn.Module):
             avg_down=self.avg_down,
             stem_s2d=self.stem_s2d,
             scales=self.scales,
+            radix=self.radix,
+            reduction_factor=self.reduction_factor,
+            avg_down_stride=self.avg_down_stride,
             dtype=self.dtype,
             name="backbone",
         )

@@ -260,6 +260,106 @@ class Bottle2neck(nn.Module):
         return nn.relu(out + identity)
 
 
+class SplitAttentionConv(nn.Module):
+    """ResNeSt split-attention 3x3 (reference models/backbones/resnest.py:39-147).
+
+    A grouped conv produces ``radix`` branches; a squeeze (global mean) ->
+    grouped fc1/BN/fc2 -> radix-softmax gate mixes them.  Channel layouts
+    mirror the torch views exactly (branch-major splits, group-major gates)
+    so mmcv checkpoints convert weight-for-weight.  The gate math is tiny
+    (1x1 convs on a 1x1 map) — XLA keeps it fused; the grouped 3x3 is the
+    MXU op.
+    """
+
+    channels: int
+    stride: int = 1
+    groups: int = 1
+    radix: int = 2
+    reduction_factor: int = 4
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        r, w = self.radix, self.channels
+        inter = max(w * r // self.reduction_factor, 32)
+        out = _conv(w * r, 3, self.stride, name="conv", dtype=self.dtype,
+                    groups=self.groups * r)(x)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn0")(out, train)
+        out = nn.relu(out)
+        b, h, ww, _ = out.shape
+        # branch-major split: torch x.view(b, radix, width, H, W) — channel
+        # c = branch * width + k  (resnest.py:126-129)
+        splits = out.reshape(b, h, ww, r, w)
+        gap = jnp.mean(splits.sum(axis=3), axis=(1, 2), keepdims=True)
+        gap = nn.Conv(inter, (1, 1), feature_group_count=self.groups,
+                      dtype=self.dtype, param_dtype=jnp.float32, name="fc1")(gap)
+        gap = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(gap, train)
+        gap = nn.relu(gap)
+        atten = nn.Conv(w * r, (1, 1), feature_group_count=self.groups,
+                        dtype=self.dtype, param_dtype=jnp.float32, name="fc2")(gap)
+        # radix softmax: fc2's group-major layout c = g*(r*wpg) + branch*wpg + k
+        # (RSoftmax, resnest.py:28-36)
+        wpg = w // self.groups
+        atten = atten.reshape(b, 1, 1, self.groups, r, wpg)
+        atten = jax.nn.softmax(atten, axis=4) if r > 1 else jax.nn.sigmoid(atten)
+        atten = atten.transpose(0, 1, 2, 4, 3, 5).reshape(b, 1, 1, r, w)
+        return jnp.sum(atten.astype(splits.dtype) * splits, axis=3)
+
+
+class SplitAttentionBottleneck(nn.Module):
+    """ResNeSt bottleneck (reference resnest.py:149-268): 1x1 -> split
+    attention 3x3 (stride moved to a following 3x3 avg-pool when
+    ``avg_down_stride``) -> 1x1, with the V1d avg-down residual path."""
+
+    planes: int
+    stride: int = 1
+    has_downsample: bool = False
+    dtype: Dtype = jnp.float32
+    norm_eval: bool = True
+    groups: int = 1
+    base_width: int = 4
+    radix: int = 2
+    reduction_factor: int = 4
+    avg_down_stride: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        width = (
+            self.planes
+            if self.groups == 1
+            else (self.planes * self.base_width // 64) * self.groups
+        )
+        avd = self.avg_down_stride and self.stride > 1
+        out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
+        out = nn.relu(out)
+        out = SplitAttentionConv(
+            channels=width,
+            stride=1 if avd else self.stride,
+            groups=self.groups,
+            radix=self.radix,
+            reduction_factor=self.reduction_factor,
+            dtype=self.dtype,
+            norm_eval=self.norm_eval,
+            name="conv2",
+        )(out, train)
+        if avd:
+            # torch AvgPool2d(3, stride, padding=1) (resnest.py:216-218)
+            out = nn.avg_pool(
+                out, (3, 3), strides=(self.stride, self.stride),
+                padding=((1, 1), (1, 1)),
+            )
+        out = _conv(self.planes * 4, 1, 1, name="conv3", dtype=self.dtype)(out)
+        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
+        if self.has_downsample:
+            identity = _conv(self.planes * 4, 1, 1, name="downsample_conv",
+                             dtype=self.dtype)(_avg_down(x, self.stride))
+            identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
+        return nn.relu(out + identity)
+
+
 class BasicBlock(nn.Module):
     planes: int
     stride: int = 1
@@ -407,6 +507,9 @@ class ResNet(nn.Module):
     avg_down: bool = False  # V1d: AvgPool-based residual downsampling
     stem_s2d: bool = False  # space-to-depth stem (see StemConvS2D)
     scales: int = 1  # >1: Res2Net Bottle2neck (with base_width, e.g. 26)
+    radix: int = 0  # >0: ResNeSt SplitAttentionBottleneck (typically 2)
+    reduction_factor: int = 4  # ResNeSt gate squeeze factor
+    avg_down_stride: bool = True  # ResNeSt: stride via 3x3 avg-pool
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -449,7 +552,17 @@ class ResNet(nn.Module):
                     norm_eval=self.norm_eval,
                     name=f"layer{stage_idx + 1}_{b}",
                 )
-                if self.scales > 1:
+                if self.radix > 0:
+                    assert block_kind == "bottleneck", "ResNeSt needs depth>=50"
+                    x = SplitAttentionBottleneck(
+                        groups=self.groups,
+                        base_width=self.base_width,
+                        radix=self.radix,
+                        reduction_factor=self.reduction_factor,
+                        avg_down_stride=self.avg_down_stride,
+                        **common,
+                    )(x, train)
+                elif self.scales > 1:
                     assert block_kind == "bottleneck", "Res2Net needs depth>=50"
                     x = Bottle2neck(
                         scales=self.scales, base_width=self.base_width, **common

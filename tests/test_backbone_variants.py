@@ -111,12 +111,75 @@ class TorchBottle2neck(tnn.Module):
         return self.relu(out + idn)
 
 
-class TorchVariantResNet(tnn.Module):
-    """mmcv-layout ResNet with deep_stem / avg_down / groups / scales options."""
+class TorchSplAtConv(tnn.Module):
+    """mmcv SplitAttentionConv2d transcription (reference resnest.py:39-147)."""
 
-    def __init__(self, depth, deep_stem=False, avg_down=False, groups=1, base_width=4, scales=1):
+    def __init__(self, width, stride=1, groups=1, radix=2, reduction_factor=4):
+        super().__init__()
+        inter = max(width * radix // reduction_factor, 32)
+        self.width, self.groups, self.radix = width, groups, radix
+        self.conv = tnn.Conv2d(width, width * radix, 3, stride=stride, padding=1,
+                               groups=groups * radix, bias=False)
+        self.bn0 = tnn.BatchNorm2d(width * radix)
+        self.fc1 = tnn.Conv2d(width, inter, 1, groups=groups)
+        self.bn1 = tnn.BatchNorm2d(inter)
+        self.fc2 = tnn.Conv2d(inter, width * radix, 1, groups=groups)
+        self.relu = tnn.ReLU()
+
+    def forward(self, x):
+        import torch.nn.functional as F
+
+        x = self.relu(self.bn0(self.conv(x)))
+        b = x.size(0)
+        splits = x.view(b, self.radix, -1, *x.shape[2:])
+        gap = F.adaptive_avg_pool2d(splits.sum(dim=1), 1)
+        gap = self.relu(self.bn1(self.fc1(gap)))
+        atten = self.fc2(gap)
+        a = atten.view(b, self.groups, self.radix, -1).transpose(1, 2)
+        a = F.softmax(a, dim=1).reshape(b, -1)
+        attens = a.view(b, self.radix, -1, 1, 1)
+        return torch.sum(attens * splits, dim=1).contiguous()
+
+
+class TorchSplAtBottleneck(tnn.Module):
+    """mmcv ResNeSt Bottleneck transcription (reference resnest.py:149-268)."""
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None,
+                 groups=1, base_width=4, radix=2):
+        super().__init__()
+        width = planes if groups == 1 else (planes * base_width // 64) * groups
+        self.avd = stride > 1  # avg_down_stride=True default
+        self.conv1 = tnn.Conv2d(inplanes, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = TorchSplAtConv(width, stride=1 if self.avd else stride,
+                                    groups=groups, radix=radix)
+        self.avd_layer = tnn.AvgPool2d(3, stride, padding=1) if self.avd else None
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        self.relu = tnn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        idn = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.conv2(out)
+        if self.avd_layer is not None:
+            out = self.avd_layer(out)
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            idn = self.downsample(x)
+        return self.relu(out + idn)
+
+
+class TorchVariantResNet(tnn.Module):
+    """mmcv-layout ResNet with deep_stem / avg_down / groups / scales /
+    radix options."""
+
+    def __init__(self, depth, deep_stem=False, avg_down=False, groups=1,
+                 base_width=4, scales=1, radix=0):
         super().__init__()
         self.scales = scales
+        self.radix = radix
         arch = {18: ("basic", (2, 2, 2, 2)), 50: ("bottleneck", (3, 4, 6, 3))}[depth]
         self.block_kind, stage_blocks = arch
         self.deep_stem = deep_stem
@@ -153,7 +216,11 @@ class TorchVariantResNet(tnn.Module):
             if self.avg_down:
                 mods.insert(0, tnn.AvgPool2d(stride, stride, ceil_mode=True, count_include_pad=False))
             downsample = tnn.Sequential(*mods)
-        if self.scales > 1:
+        if self.radix > 0:
+            mk = lambda inp, pl, st, ds: TorchSplAtBottleneck(  # noqa: E731
+                inp, pl, st, ds, self.groups, self.base_width, self.radix
+            )
+        elif self.scales > 1:
             mk = lambda inp, pl, st, ds: TorchBottle2neck(  # noqa: E731
                 inp, pl, st, ds, self.scales, self.base_width
             )
@@ -210,6 +277,9 @@ def _convert_to_flax_vars(tmodel, fmodel, x_shape):
         (50, dict(groups=32, base_width=4)),  # ResNeXt-50 32x4d
         (50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4)),  # ResNeSt-style combo
         (50, dict(deep_stem=True, avg_down=True, scales=4, base_width=26)),  # Res2Net-50
+        (50, dict(deep_stem=True, avg_down=True, radix=2)),  # ResNeSt-50
+        # grouped split-attention stresses the group-major gate layout
+        (50, dict(deep_stem=True, avg_down=True, radix=2, groups=2, base_width=16)),
     ],
 )
 def test_variant_forward_parity(depth, kwargs, rng):
@@ -341,6 +411,7 @@ def test_builder_backbone_types():
         dict(type="ResNeXt", depth=50, groups=32, base_width=4),
         dict(type="Res2Net", depth=50),  # defaults: scales=4, base_width=26
         dict(type="RegNet", arch="regnetx_400mf"),
+        dict(type="ResNeSt", depth=50, radix=2),
     ):
         model = build_detector(
             dict(

@@ -77,6 +77,22 @@ def convert_resnet(sd, out, torch_prefix=""):
                 continue  # basic blocks have conv1/conv2 only
             out[("params",) + fp + (f"conv{ci}", "kernel")] = t2f_conv(sd[wkey])
             _bn(out, fp + (f"bn{ci}",), sd, tp + f"bn{ci}")
+        # ResNeSt SplitAttentionConv2d: conv2.{conv,bn0,fc1,bn1,fc2}
+        # (reference resnest.py:86-108)
+        if tp + "conv2.conv.weight" in sd:
+            sa = fp + ("conv2",)
+            out[("params",) + sa + ("conv", "kernel")] = t2f_conv(
+                sd[tp + "conv2.conv.weight"]
+            )
+            _bn(out, sa + ("bn0",), sd, tp + "conv2.bn0")
+            _bn(out, sa + ("bn1",), sd, tp + "conv2.bn1")
+            for fc in ("fc1", "fc2"):
+                out[("params",) + sa + (fc, "kernel")] = t2f_conv(
+                    sd[tp + f"conv2.{fc}.weight"]
+                )
+                out[("params",) + sa + (fc, "bias")] = np.asarray(
+                    sd[tp + f"conv2.{fc}.bias"]
+                )
         # Res2Net Bottle2neck per-scale 3x3s: convs.{i}/bns.{i} ModuleLists
         si = 0
         while tp + f"convs.{si}.weight" in sd:
