@@ -256,7 +256,9 @@ def train_detector(
                 save_best_key = (eval_cfg.get("save_best") if eval_cfg else None) or None
                 if metrics_eval and save_best_key:
                     key_name = f"bbox_{save_best_key}" if not str(save_best_key).startswith("bbox_") else save_best_key
-                    score = metrics_eval.get(key_name)
+                    # datasets with their own protocol (VOC mean-AP) emit
+                    # unprefixed keys — fall back to the raw name
+                    score = metrics_eval.get(key_name, metrics_eval.get(str(save_best_key)))
                     if score is not None and score > best_score:
                         best_score = score
                         from ..engine.checkpoint import save_weights

@@ -120,6 +120,11 @@ class BOPDataset:
         for ann in self.coco.get_anns(img_info["id"]):
             if ann.get("ignore", False) or ann["category_id"] not in self.cat2label:
                 continue
+            # difficult objects become ignore regions (parse_ann_info), so an
+            # all-difficult image has no trainable gt (reference
+            # xml_style.py:60-79 keeps it, then resamples — skip it up front)
+            if ann.get("difficult", 0):
+                continue
             if ann.get("visib_fract", 1.0) >= self.min_visib_frac:
                 return True
         return False

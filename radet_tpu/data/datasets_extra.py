@@ -306,9 +306,10 @@ class VOCDataset(XMLDataset):
             dets = self._results_by_class(results)
             mean_aps = []
             for thr in iou_thrs:
+                # the reference passes scale_ranges=None here regardless of
+                # the argument (voc.py:73-76)
                 mean_ap, _ = eval_map(
-                    dets, annotations, scale_ranges=scale_ranges,
-                    iou_thr=thr, mode=mode,
+                    dets, annotations, scale_ranges=None, iou_thr=thr, mode=mode,
                 )
                 mean_aps.append(mean_ap)
                 out[f'AP{int(thr * 100):02d}'] = round(float(mean_ap), 3)

@@ -197,6 +197,36 @@ def test_evaluate_results_delegates_to_voc(voc_root):
     assert metrics["mAP"] == pytest.approx(1.0)
 
 
+def test_all_difficult_image_filtered_in_training(tmp_path):
+    """An image whose objects are all difficult has no trainable gt and is
+    dropped by the empty-gt filter up front (instead of resampling forever)."""
+    import cv2
+
+    root = tmp_path / "VOC2007"
+    for sub in ("Annotations", "JPEGImages", "ImageSets/Main"):
+        os.makedirs(root / sub, exist_ok=True)
+    scenes = {
+        "000001": [("dog", 1, (11, 11, 41, 41))],  # all difficult
+        "000002": [("car", 0, (2, 3, 50, 40))],
+    }
+    rng = np.random.RandomState(0)
+    for img_id, objs in scenes.items():
+        cv2.imwrite(
+            str(root / "JPEGImages" / f"{img_id}.jpg"),
+            rng.randint(0, 255, (48, 64, 3), np.uint8),
+        )
+        with open(root / "Annotations" / f"{img_id}.xml", "w") as f:
+            f.write(_voc_xml(img_id, (48, 64), objs))
+    lf = root / "ImageSets/Main/train.txt"
+    open(lf, "w").write("\n".join(scenes) + "\n")
+    ds = VOCDataset(
+        ann_file=str(lf), img_prefix=str(root), pipeline=TRAIN_PIPELINE,
+        test_mode=False, input_size=(48, 64), max_gt=8,
+    )
+    assert len(ds) == 1
+    assert ds.data_infos[0]["voc_id"] == "000002"
+
+
 def test_widerface_folder_filenames(tmp_path):
     os.makedirs(tmp_path / "Annotations")
     with open(tmp_path / "Annotations" / "0_Parade_1.xml", "w") as f:
