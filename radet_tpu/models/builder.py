@@ -64,6 +64,7 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         reduction_factor=backbone.get("reduction_factor", 4),
         avg_down_stride=backbone.get("avg_down_stride", True),
         regnet_arch=backbone.get("arch", "") if btype == "RegNet" else "",
+        with_cp=backbone.get("with_cp", False),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),

@@ -47,6 +47,7 @@ class RADet(nn.Module):
     reduction_factor: int = 4  # ResNeSt gate squeeze
     avg_down_stride: bool = True  # ResNeSt stride-by-pool
     regnet_arch: str = ""  # non-empty: RegNet backbone (e.g. 'regnetx_3.2gf')
+    with_cp: bool = False  # per-block gradient checkpointing (remat)
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -88,6 +89,7 @@ class RADet(nn.Module):
             radix=self.radix,
             reduction_factor=self.reduction_factor,
             avg_down_stride=self.avg_down_stride,
+            with_cp=self.with_cp,
             dtype=self.dtype,
             name="backbone",
         )

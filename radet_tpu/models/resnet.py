@@ -510,6 +510,10 @@ class ResNet(nn.Module):
     radix: int = 0  # >0: ResNeSt SplitAttentionBottleneck (typically 2)
     reduction_factor: int = 4  # ResNeSt gate squeeze factor
     avg_down_stride: bool = True  # ResNeSt: stride via 3x3 avg-pool
+    # per-block gradient checkpointing (reference resnet.py:85-88 torch
+    # cp.checkpoint): rematerialize block activations in backward — the
+    # HBM-for-FLOPs lever for larger batches/inputs
+    with_cp: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -552,9 +556,16 @@ class ResNet(nn.Module):
                     norm_eval=self.norm_eval,
                     name=f"layer{stage_idx + 1}_{b}",
                 )
+                # static_argnums: (self, x, train) -> train must stay a
+                # python bool through the remat trace
+                remat = (
+                    (lambda c: nn.remat(c, static_argnums=(2,)))
+                    if self.with_cp
+                    else (lambda c: c)
+                )
                 if self.radix > 0:
                     assert block_kind == "bottleneck", "ResNeSt needs depth>=50"
-                    x = SplitAttentionBottleneck(
+                    x = remat(SplitAttentionBottleneck)(
                         groups=self.groups,
                         base_width=self.base_width,
                         radix=self.radix,
@@ -564,11 +575,11 @@ class ResNet(nn.Module):
                     )(x, train)
                 elif self.scales > 1:
                     assert block_kind == "bottleneck", "Res2Net needs depth>=50"
-                    x = Bottle2neck(
+                    x = remat(Bottle2neck)(
                         scales=self.scales, base_width=self.base_width, **common
                     )(x, train)
                 else:
-                    x = block_cls(
+                    x = remat(block_cls)(
                         groups=self.groups, width=width, avg_down=self.avg_down,
                         **common,
                     )(x, train)
