@@ -124,7 +124,12 @@ class LVISV1Dataset(BOPDataset):
             self.coco, cat_ids=self.cat_ids, img_ids=self.img_ids
         )
         metrics = evaluator.evaluate(self.det2json(results))
-        return {f"bbox_{k}": v for k, v in metrics.items()}
+        out = {f"bbox_{k}": v for k, v in metrics.items()}
+        if eval_options.get("classwise"):
+            out.update(
+                {f"bbox_AP_{n}": ap for n, ap in evaluator.classwise_ap().items()}
+            )
+        return out
 
 
 def _xml_to_coco(

@@ -153,3 +153,5 @@ def test_lvis_dataset_delegates():
     metrics = evaluate_results(ds, results)
     assert metrics["bbox_mAP"] == pytest.approx(1.0)
     assert metrics["bbox_mAP_f"] == pytest.approx(1.0)
+    classwise = ds.evaluate(results, classwise=True)
+    assert classwise["bbox_AP_cat1"] == pytest.approx(1.0)
