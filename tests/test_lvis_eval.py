@@ -125,6 +125,69 @@ def test_frequency_buckets_absent_without_frequency_fields():
     assert m["mAP"] == pytest.approx(1.0)
 
 
+def test_exhaustive_lvis_equals_coco_protocol():
+    """Differential invariant: when every image lists every absent category
+    as verified-negative and nothing is not-exhaustive, the federated
+    protocol degenerates to plain COCO at the same maxDets — on randomized
+    scenes the full summaries must match."""
+    rng = np.random.RandomState(42)
+    for trial in range(5):
+        n_imgs, n_cats = 6, 4
+        cat_ids = list(range(1, n_cats + 1))
+        images, anns = [], []
+        for i in range(1, n_imgs + 1):
+            present = set(
+                rng.choice(cat_ids, size=rng.randint(1, n_cats + 1), replace=False)
+            )
+            images.append(
+                dict(
+                    id=i, filename=f"{i}.jpg", width=200, height=200,
+                    neg_category_ids=[c for c in cat_ids if c not in present],
+                    not_exhaustive_category_ids=[],
+                )
+            )
+            for c in present:
+                for _ in range(rng.randint(1, 3)):
+                    x, y = rng.randint(0, 150, 2)
+                    w, h = rng.randint(8, 50, 2)
+                    anns.append(
+                        dict(
+                            id=len(anns) + 1, image_id=i, category_id=int(c),
+                            bbox=[float(x), float(y), float(w), float(h)],
+                            area=float(w * h), iscrowd=0,
+                        )
+                    )
+        scene = dict(
+            images=images,
+            annotations=anns,
+            categories=[dict(id=c, name=f"c{c}") for c in cat_ids],
+        )
+        dets = []
+        for ann in anns:
+            if rng.rand() < 0.8:  # jittered true positives
+                bx = [v + float(rng.randn() * 3) for v in ann["bbox"]]
+                dets.append(
+                    _det(ann["image_id"], ann["category_id"], bx, float(rng.rand()))
+                )
+        for _ in range(10):  # random false positives on random images
+            x, y = rng.randint(0, 150, 2)
+            w, h = rng.randint(8, 50, 2)
+            dets.append(
+                _det(
+                    int(rng.randint(1, n_imgs + 1)),
+                    int(rng.choice(cat_ids)),
+                    [float(x), float(y), float(w), float(h)],
+                    float(rng.rand()),
+                )
+            )
+        idx = CocoIndex(scene)
+        lvis = LVISEvaluator(idx, cat_ids=cat_ids, max_dets=300).evaluate(dets)
+        coco = COCOEvaluator(idx, cat_ids=cat_ids, max_dets=(300,)).evaluate(dets)
+        for k in ("mAP", "mAP_50", "mAP_75", "mAP_s", "mAP_m", "mAP_l"):
+            assert lvis[k] == pytest.approx(coco[k], abs=1e-12), (trial, k)
+        assert lvis["AR@300"] == pytest.approx(coco["AR@300"], abs=1e-12)
+
+
 def test_lvis_dataset_delegates():
     from radet_tpu.apis.test import evaluate_results
     from radet_tpu.data import LVISV1Dataset
