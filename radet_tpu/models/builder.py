@@ -28,9 +28,17 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     elif isinstance(dtype, str):
         dtype = _DTYPES[dtype]
     btype = backbone.get("type", "ResNet")
-    assert btype in (
-        "ResNet", "ResNetV1d", "ResNeXt", "Res2Net", "RegNet", "ResNeSt"
-    ), f"unknown backbone type {btype}"
+    _resnet_family = ("ResNet", "ResNetV1d", "ResNeXt", "Res2Net", "RegNet", "ResNeSt")
+    # neck-composable extra families (backbones_extra.py); HourglassNet and
+    # TridentResNet exist as standalone modules but no reference-shipped
+    # neck/head can consume their output contract — fail fast here
+    _extra_family = ("Darknet", "HRNet", "SSDVGG", "DetectoRS_ResNet",
+                     "DetectoRS_ResNeXt")
+    assert btype in _resnet_family + _extra_family, (
+        f"unknown backbone type {btype}"
+        + (" (standalone module only — see radet_tpu.models.backbones_extra)"
+           if btype in ("HourglassNet", "TridentResNet") else "")
+    )
     if btype == "RegNet":
         arch = backbone["arch"]
         assert isinstance(arch, str), "RegNet arch must be a named preset"
@@ -51,11 +59,20 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     v1d = btype in ("ResNetV1d", "Res2Net", "ResNeSt")
     res2 = btype == "Res2Net"
     nest = btype == "ResNeSt"
+    backbone_type = btype if btype in _extra_family else ""
+    backbone_opts = ()
+    if backbone_type:
+        from .backbones_extra import freeze_cfg
+
+        opts = {k: v for k, v in backbone.items() if k != "type"}
+        backbone_opts = freeze_cfg(opts)
     return RADet(
         num_classes=head["num_classes"],
         depth=backbone.get("depth", 50),
         out_indices=tuple(backbone.get("out_indices", (0, 1, 2, 3))),
-        frozen_stages=backbone.get("frozen_stages", 1),
+        # the extra families default to the reference's frozen_stages=-1
+        # (darknet.py:97; HRNet has no freezing at all)
+        frozen_stages=backbone.get("frozen_stages", -1 if backbone_type else 1),
         norm_eval=backbone.get("norm_eval", True),
         groups=backbone.get("groups", 1) if btype in ("ResNeXt", "ResNeSt") else 1,
         base_width=backbone.get("base_width", 26 if res2 else 4),
@@ -64,6 +81,8 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         reduction_factor=backbone.get("reduction_factor", 4),
         avg_down_stride=backbone.get("avg_down_stride", True),
         regnet_arch=backbone.get("arch", "") if btype == "RegNet" else "",
+        backbone_type=backbone_type,
+        backbone_opts=backbone_opts,
         with_cp=backbone.get("with_cp", False),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),

@@ -13,6 +13,7 @@ from typing import Any, List, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .backbones_extra import make_backbone, thaw_cfg
 from .fpn import FPN, ChannelMapper
 from .radet_head import RADetHead
 from .resnet import RegNet, ResNet
@@ -47,6 +48,11 @@ class RADet(nn.Module):
     reduction_factor: int = 4  # ResNeSt gate squeeze
     avg_down_stride: bool = True  # ResNeSt stride-by-pool
     regnet_arch: str = ""  # non-empty: RegNet backbone (e.g. 'regnetx_3.2gf')
+    # non-empty: an extra backbone family (Darknet/HRNet/SSDVGG/
+    # DetectoRS_ResNet) built by backbones_extra.make_backbone;
+    # backbone_opts is its freeze_cfg-canonicalized config dict
+    backbone_type: str = ""
+    backbone_opts: Any = ()
     with_cp: bool = False  # per-block gradient checkpointing (remat)
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
@@ -61,7 +67,16 @@ class RADet(nn.Module):
     dtype: Dtype = jnp.float32
 
     def setup(self):
-        if self.regnet_arch:
+        if self.backbone_type:
+            self.backbone = make_backbone(
+                self.backbone_type,
+                dict(thaw_cfg(self.backbone_opts)),
+                norm_eval=self.norm_eval,
+                frozen_stages=self.frozen_stages,
+                dtype=self.dtype,
+                name="backbone",
+            )
+        elif self.regnet_arch:
             self.backbone = RegNet(
                 arch=self.regnet_arch,
                 out_indices=self.out_indices,
@@ -94,6 +109,34 @@ class RADet(nn.Module):
             name="backbone",
         )
 
+    def _num_backbone_outputs(self) -> int:
+        """How many feature maps the backbone emits (neck input count)."""
+        if not self.backbone_type:
+            return len(self.out_indices)
+        opts = dict(thaw_cfg(self.backbone_opts))
+        if self.backbone_type == "Darknet":
+            return len(tuple(opts.get("out_indices", (3, 4, 5))))
+        if self.backbone_type == "HRNet":
+            extra = opts.get("extra", "hrnet_w18")
+            if isinstance(extra, str):
+                from .backbones_extra import HRNET_PRESETS
+
+                extra = HRNET_PRESETS[extra]
+            return extra["stage4"]["num_branches"]
+        if self.backbone_type == "SSDVGG":
+            from .backbones_extra import ssd_extra_layout
+
+            n_extra = len(ssd_extra_layout(opts.get("input_size", 300))) // 2
+            return len(tuple(opts.get("out_feature_indices", (22, 34)))) + n_extra
+        if self.backbone_type in ("DetectoRS_ResNet", "DetectoRS_ResNeXt"):
+            return len(tuple(opts.get("out_indices", (0, 1, 2, 3)))) + int(
+                opts.get("output_img", False)
+            )
+        raise ValueError(
+            f"backbone {self.backbone_type!r} has no neck-composable output "
+            "contract (HourglassNet/TridentResNet are standalone modules)"
+        )
+
     def _setup_neck_head(self):
         if self.neck_type == "FPN":
             self.neck = FPN(
@@ -116,7 +159,7 @@ class RADet(nn.Module):
                 dtype=self.dtype,
                 name="neck",
             )
-            head_levels = len(self.out_indices)
+            head_levels = self._num_backbone_outputs()
         else:
             raise ValueError(
                 f"unsupported neck_type={self.neck_type!r} "

@@ -426,8 +426,9 @@ def test_builder_backbone_types():
         )[0]
         assert len(outs[0]) == 5  # cls levels
 
+    # HourglassNet has no neck-composable output contract (standalone module)
     with pytest.raises(AssertionError):
-        build_detector(dict(type="RADet", backbone=dict(type="HRNet"),
+        build_detector(dict(type="RADet", backbone=dict(type="HourglassNet"),
                             neck=dict(), bbox_head=dict(num_classes=3)))
 
 
