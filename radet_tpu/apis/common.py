@@ -29,6 +29,49 @@ def assignment_cfg_from(cfg) -> Dict | None:
     return extract_label_assignment(list(pipe or []))
 
 
+def loss_cfg_from(cfg) -> Dict[str, Any]:
+    """Translate the reference-style ``bbox_head`` loss dicts
+    (configs/bop/r50_ycbv_pbr.py:46-55: loss_cls/loss_bbox/loss_centerness)
+    into the flat kwargs ``engine.train_step.build_train_step`` consumes.
+    Fails fast on loss types the head cannot honor."""
+    from ..ops.losses import BBOX_LOSS_FNS
+
+    head = cfg.model.get("bbox_head", {})
+    out: Dict[str, Any] = {}
+
+    lcls = head.get("loss_cls")
+    if lcls:
+        lcls = lcls.to_dict() if hasattr(lcls, "to_dict") else dict(lcls)
+        assert lcls.get("type", "FocalLoss") == "FocalLoss" and lcls.get(
+            "use_sigmoid", True
+        ), f"unsupported loss_cls {lcls!r} (RADet head is sigmoid-focal)"
+        out["focal_gamma"] = float(lcls.get("gamma", 2.0))
+        out["focal_alpha"] = float(lcls.get("alpha", 0.25))
+        out["cls"] = float(lcls.get("loss_weight", 1.0))
+
+    lbox = head.get("loss_bbox")
+    if lbox:
+        lbox = lbox.to_dict() if hasattr(lbox, "to_dict") else dict(lbox)
+        btype = lbox.get("type", "GIoULoss")
+        assert btype in BBOX_LOSS_FNS, (
+            f"unsupported loss_bbox type {btype!r} (known: {sorted(BBOX_LOSS_FNS)})"
+        )
+        out["bbox_type"] = btype
+        out["bbox"] = float(lbox.get("loss_weight", 2.0))
+        extra = {k: v for k, v in lbox.items()
+                 if k not in ("type", "loss_weight", "reduction")}
+        out["bbox_extra"] = tuple(sorted(extra.items()))
+
+    liou = head.get("loss_centerness")
+    if liou:
+        liou = liou.to_dict() if hasattr(liou, "to_dict") else dict(liou)
+        assert liou.get("type", "CrossEntropyLoss") == "CrossEntropyLoss" and liou.get(
+            "use_sigmoid", True
+        ), f"unsupported loss_centerness {liou!r} (binary CE on the IoU branch)"
+        out["iou"] = float(liou.get("loss_weight", 1.0))
+    return out
+
+
 def anchor_cfg_from_model(model_cfg: Dict, label_assignment_cfg: Dict | None = None) -> AnchorConfig:
     head = model_cfg.get("bbox_head", {})
     agen = dict(head.get("anchor_generator", {}))

@@ -29,6 +29,7 @@ from .common import (
     build_dataset,
     build_model_and_anchors,
     init_variables,
+    loss_cfg_from,
     normalizer_from_cfg,
 )
 from .test import evaluate_results, run_inference
@@ -173,6 +174,7 @@ def train_detector(
         num_classes=int(cfg.model.bbox_head.num_classes),
         assignment_cfg=assignment_cfg_from(cfg),
         normalizer=normalizer_from_cfg(cfg),
+        loss_cfg=loss_cfg_from(cfg),
     )
 
     dataset = build_dataset(cfg, "train", test_mode=False)

@@ -43,6 +43,7 @@ def build_train_step(
     assignment_cfg: Dict[str, Any] | None = None,
     normalizer: float = 1.0 / 8.0,
     loss_weights: Dict[str, float] | None = None,
+    loss_cfg: Dict[str, Any] | None = None,
 ):
     """Returns train_step(state, batch, rng_key) -> (state, metrics)."""
     assignment_cfg = dict(assignment_cfg or {})
@@ -58,8 +59,16 @@ def build_train_step(
     )
     ambiguous_sample = str(assignment_cfg.get("ambiguous_sample", "min_area"))
     assign_impl = str(assignment_cfg.get("impl", "auto"))
-    lw = dict(cls=1.0, bbox=2.0, iou=1.0)
-    lw.update(loss_weights or {})
+    # loss_cfg comes from the reference-style bbox_head loss dicts
+    # (apis/common.py::loss_cfg_from); loss_weights is the legacy override
+    lc = dict(
+        cls=1.0, bbox=2.0, iou=1.0,
+        focal_gamma=2.0, focal_alpha=0.25,
+        bbox_type="GIoULoss", bbox_extra=(),
+    )
+    lc.update(loss_cfg or {})
+    lc.update(loss_weights or {})
+    lw = lc
     anchors_j = jnp.asarray(anchors)
     ranges_j = jnp.asarray(regress_ranges)
     mean = tuple(img_norm["mean"])
@@ -110,9 +119,13 @@ def build_train_step(
             assign.weight,
             num_classes=num_classes,
             normalizer=normalizer,
+            focal_gamma=lw["focal_gamma"],
+            focal_alpha=lw["focal_alpha"],
             cls_loss_weight=lw["cls"],
             bbox_loss_weight=lw["bbox"],
             iou_loss_weight=lw["iou"],
+            bbox_loss_type=lw["bbox_type"],
+            bbox_loss_extra=tuple(lw["bbox_extra"]),
         )
         total = losses["loss_cls"] + losses["loss_bbox"] + losses["loss_iou"]
         return total, (losses, mutated.get("batch_stats", batch_stats))

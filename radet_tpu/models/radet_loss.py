@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.box_coder import tblr_decode
 from ..core.box_ops import bbox_iou_aligned
-from ..ops.losses import bce_with_logits, giou_loss, sigmoid_focal_loss
+from ..ops.losses import BBOX_LOSS_FNS, bce_with_logits, sigmoid_focal_loss
 
 EPS = 1e-12
 
@@ -48,6 +48,8 @@ def radet_loss(
     cls_loss_weight: float = 1.0,
     bbox_loss_weight: float = 2.0,
     iou_loss_weight: float = 1.0,
+    bbox_loss_type: str = "GIoULoss",  # any BBOX_LOSS_FNS key (config surface)
+    bbox_loss_extra: tuple = (),  # extra kwargs as (key, value) pairs
 ) -> Dict[str, jnp.ndarray]:
     b, n, c = cls_flat.shape
     num_imgs = b
@@ -96,12 +98,14 @@ def radet_loss(
     iou_target = jax.lax.stop_gradient(bbox_iou_aligned(decoded, target_boxes))
 
     bbox_w = jnp.where(pos, jnp.clip(iou_target, EPS) * weight, 0.0)
-    loss_bbox = giou_loss(
+    bbox_loss_fn = BBOX_LOSS_FNS[bbox_loss_type]
+    loss_bbox = bbox_loss_fn(
         decoded,
         target_boxes,
         weight=bbox_w,
         avg_factor=bbox_w.sum(),
         loss_weight=bbox_loss_weight,
+        **dict(bbox_loss_extra),
     )
     loss_iou = bce_with_logits(
         iou_flat,

@@ -117,3 +117,39 @@ def test_radet_loss_no_positives():
     assert float(out["loss_bbox"]) == 0
     assert float(out["loss_iou"]) == 0
     assert float(out["loss_cls"]) > 0  # negatives still contribute
+
+
+def test_bbox_loss_type_routing(rng):
+    """bbox_loss_type selects the config-chosen IoU loss variant; the
+    variants disagree on imperfect boxes (so routing is observable)."""
+    import jax.numpy as jnp
+
+    from radet_tpu.models.radet_loss import radet_loss
+
+    b, n, g, c = 1, 8, 2, 3
+    anchors = np.stack([
+        np.tile(np.arange(n) * 8.0, 1), np.zeros(n),
+        np.tile(np.arange(n) * 8.0 + 16, 1), np.full(n, 16.0),
+    ], axis=-1).astype(np.float32)
+    cls = jnp.asarray(rng.randn(b, n, c).astype(np.float32))
+    reg = jnp.asarray(np.abs(rng.randn(b, n, 4)).astype(np.float32))
+    iou = jnp.asarray(rng.randn(b, n).astype(np.float32))
+    gt_boxes = jnp.asarray([[[0, 0, 20, 14], [30, 2, 60, 15]]], jnp.float32)
+    gt_labels = jnp.asarray([[1, 2]], jnp.int32)
+    gt_idx = jnp.asarray([[0, 0, 1, 1, -1, -1, -2, -1]], jnp.int32)
+    weight = jnp.asarray([[1, 0.5, 1, 1, 1, 1, 0, 1]], jnp.float32)
+
+    out = {}
+    for t in ("GIoULoss", "IoULoss", "BoundedIoULoss", "DIoULoss", "CIoULoss",
+              "L1Loss", "SmoothL1Loss"):
+        losses = radet_loss(cls, reg, iou, jnp.asarray(anchors), gt_boxes,
+                            gt_labels, gt_idx, weight, num_classes=c,
+                            bbox_loss_type=t)
+        out[t] = float(losses["loss_bbox"])
+        assert np.isfinite(out[t]), t
+    assert len({round(v, 6) for v in out.values()}) == len(out), out
+    # extra kwargs reach the implementation (linear vs log IoU differ)
+    lin = radet_loss(cls, reg, iou, jnp.asarray(anchors), gt_boxes, gt_labels,
+                     gt_idx, weight, num_classes=c, bbox_loss_type="IoULoss",
+                     bbox_loss_extra=(("linear", True),))
+    assert float(lin["loss_bbox"]) != out["IoULoss"]
