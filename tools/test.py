@@ -53,10 +53,15 @@ def parse_args():
         default=None,
         help="kwargs for evaluation as key=value, e.g. classwise=True",
     )
+    p.add_argument(
+        "--fuse-conv-bn",
+        action="store_true",
+        help="fold frozen BNs into conv weights before inference "
+        "(exact — norm_eval BNs are constant affines; models/fuse.py)",
+    )
     # reference-CLI compatibility no-ops (GPU/launcher mechanics that have no
-    # TPU equivalent — XLA fuses conv+bn itself; result collection and
-    # distributed init are automatic):
-    for flag in ("--fuse-conv-bn", "--gpu-collect", "--shuffle"):
+    # TPU equivalent — result collection and distributed init are automatic):
+    for flag in ("--gpu-collect", "--shuffle"):
         p.add_argument(flag, action="store_true", help=argparse.SUPPRESS)
     p.add_argument("--tmpdir", default=None, help=argparse.SUPPRESS)
     p.add_argument("--launcher", default="none", help=argparse.SUPPRESS)
@@ -76,9 +81,6 @@ def main():
     if args.show and not args.show_dir:
         args.show_dir = osp.join(cfg.get("work_dir", "work_dirs"), "shown")
         logger.info(f"--show: rendering to {args.show_dir} (headless TPU host)")
-    if args.fuse_conv_bn:
-        logger.info("--fuse-conv-bn: no-op — XLA fuses BN into convs at compile time")
-
     model, _, _, _ = build_model_and_anchors(cfg)
     variables = init_variables(model, tuple(cfg.get("input_size", (480, 640))))
     if args.checkpoint:
@@ -86,6 +88,15 @@ def main():
         logger.info(f"loaded checkpoint {args.checkpoint}")
     else:
         logger.warning("no checkpoint given — using random weights")
+    if args.fuse_conv_bn:
+        from radet_tpu.models.fuse import fuse_conv_bn
+
+        variables, report = fuse_conv_bn(variables)
+        logger.info(
+            f"--fuse-conv-bn: folded {report['fused']} frozen BNs into conv "
+            f"weights ({report['skipped']} left in place: "
+            f"{report['skipped_paths'] or 'none'})"
+        )
 
     dataset, results, metrics = test_from_config(
         cfg,
