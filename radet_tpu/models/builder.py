@@ -97,5 +97,6 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         fpn_start_level=neck.get("start_level", 1),
         stacked_convs=head.get("stacked_convs", 4),
         feat_channels=head.get("feat_channels", 256),
+        head_quant=head.get("quant", None),
         dtype=dtype,
     )

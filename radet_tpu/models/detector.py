@@ -8,7 +8,7 @@ the jitted step (`preprocess_images`) so host->device transfers stay uint8.
 
 from __future__ import annotations
 
-from typing import Any, List, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -64,6 +64,7 @@ class RADet(nn.Module):
     fpn_start_level: int = 1
     stacked_convs: int = 4
     feat_channels: int = 256
+    head_quant: Optional[str] = None  # None | 'int8' (see radet_head._Int8Conv)
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -172,6 +173,7 @@ class RADet(nn.Module):
             stacked_convs=self.stacked_convs,
             num_levels=head_levels,
             dtype=self.dtype,
+            quant=self.head_quant,
             name="bbox_head",
         )
 

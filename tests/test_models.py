@@ -137,3 +137,62 @@ def test_channel_mapper(rng):
     for f, o in zip(feats, outs):
         assert o.shape == f.shape[:3] + (24,)
         assert (np.asarray(o) >= 0).all()  # ReLU default
+
+
+class TestInt8QuantHead:
+    """Deploy-time int8 tower quantization (radet_head._Int8Conv)."""
+
+    def test_int8_conv_close_to_f32(self, rng):
+        from radet_tpu.models.radet_head import _Int8Conv
+
+        x = jnp.asarray(rng.normal(0, 1.5, (2, 16, 20, 32)).astype(np.float32))
+        m = _Int8Conv(48)
+        v = m.init(jax.random.PRNGKey(1), x)
+        # reference f32 conv with the SAME kernel
+        k = v["params"]["kernel"]
+        dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn
+        )
+        got = m.apply(v, x)
+        # symmetric 8-bit dynamic quant: ~0.5% rms error on gaussian data
+        denom = np.maximum(np.abs(np.asarray(ref)), 1e-3)
+        rel = np.abs(np.asarray(got) - np.asarray(ref)) / denom
+        assert np.median(rel) < 0.02
+        assert float(jnp.mean((got - ref) ** 2)) < 1e-3 * float(jnp.mean(ref**2)) + 1e-6
+
+    def test_param_tree_identical_and_outputs_close(self, rng):
+        cfg = dict(
+            type="RADet",
+            backbone=dict(depth=50, out_indices=(0, 1, 2, 3), frozen_stages=1),
+            neck=dict(out_channels=64, start_level=1, num_outs=5),
+            bbox_head=dict(num_classes=4, stacked_convs=2, feat_channels=64),
+        )
+        qcfg = {**cfg, "bbox_head": {**cfg["bbox_head"], "quant": "int8"}}
+        model = build_detector(cfg)
+        qmodel = build_detector(qcfg)
+        x = jnp.asarray(rng.uniform(0, 1, (1, 128, 160, 3)).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        # the quantized head must accept the SAME variables (deploy-time flip)
+        cls_f, reg_f, iou_f = model.apply(variables, x, train=False)
+        cls_q, reg_q, iou_q = qmodel.apply(variables, x, train=False)
+        for a, b in zip(cls_f, cls_q):
+            assert a.shape == b.shape
+            # GN renormalizes after every quantized conv, bounding drift;
+            # class probabilities must agree closely
+            pa, pb = jax.nn.sigmoid(a), jax.nn.sigmoid(b)
+            assert float(jnp.max(jnp.abs(pa - pb))) < 0.05
+        for a, b in zip(reg_f, reg_q):
+            scale = float(jnp.maximum(jnp.max(jnp.abs(a)), 1.0))
+            assert float(jnp.max(jnp.abs(a - b))) / scale < 0.08
+
+    def test_bad_quant_flag_fails_fast(self):
+        cfg = dict(
+            type="RADet",
+            backbone=dict(depth=50),
+            neck=dict(out_channels=64),
+            bbox_head=dict(num_classes=4, stacked_convs=2, feat_channels=64, quant="fp4"),
+        )
+        model = build_detector(cfg)
+        with pytest.raises(ValueError, match="quant"):
+            model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), train=False)
