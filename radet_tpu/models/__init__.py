@@ -3,6 +3,15 @@ from .detector import RADet, flatten_head_outputs, preprocess_images
 from .fpn import FPN
 from .radet_head import RADetHead
 from .resnet import ResNet
+from .transformer import (
+    DETRTransformer,
+    FFN,
+    LearnedPositionalEncoding,
+    MultiheadAttention,
+    TransformerDecoderLayer,
+    TransformerEncoderLayer,
+    sine_positional_encoding,
+)
 
 __all__ = [
     "build_detector",
@@ -12,4 +21,11 @@ __all__ = [
     "FPN",
     "RADetHead",
     "ResNet",
+    "DETRTransformer",
+    "TransformerEncoderLayer",
+    "TransformerDecoderLayer",
+    "MultiheadAttention",
+    "FFN",
+    "LearnedPositionalEncoding",
+    "sine_positional_encoding",
 ]

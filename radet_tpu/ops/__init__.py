@@ -1,3 +1,4 @@
+from .gaussian_target import gaussian_radius, gen_gaussian_target
 from .losses import (
     accuracy,
     bce_with_logits,
@@ -15,6 +16,8 @@ from .vote_nms import (
 )
 
 __all__ = [
+    "gaussian_radius",
+    "gen_gaussian_target",
     "sigmoid_focal_loss",
     "giou_loss",
     "bce_with_logits",
