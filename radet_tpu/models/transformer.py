@@ -41,6 +41,11 @@ import jax.numpy as jnp
 
 Dtype = Any
 
+# Additive pre-softmax mask value.  Deliberate deviation from torch
+# nn.MultiheadAttention: a row whose keys are ALL padded yields uniform
+# attention over the padded keys here, where torch produces NaN — the
+# degenerate input gets a finite (garbage but non-propagating) output,
+# which is the TPU-friendly behavior (NaNs poison whole fused kernels).
 NEG_INF = -1e9
 
 
@@ -96,12 +101,17 @@ class LearnedPositionalEncoding(nn.Module):
     @nn.compact
     def __call__(self, mask):
         b, h, w = mask.shape
-        row = nn.Embed(self.row_num_embed, self.num_feats, name="row_embed")(
-            jnp.arange(h)
-        )  # (H, F)
-        col = nn.Embed(self.col_num_embed, self.num_feats, name="col_embed")(
-            jnp.arange(w)
-        )  # (W, F)
+        # U[0,1) init matches the reference's mmcv uniform_init on these
+        # embeddings (positional_encoding.py:129-132) for from-scratch parity
+        emb_init = nn.initializers.uniform(scale=1.0)
+        row = nn.Embed(
+            self.row_num_embed, self.num_feats, embedding_init=emb_init,
+            name="row_embed",
+        )(jnp.arange(h))  # (H, F)
+        col = nn.Embed(
+            self.col_num_embed, self.num_feats, embedding_init=emb_init,
+            name="col_embed",
+        )(jnp.arange(w))  # (W, F)
         pos = jnp.concatenate(
             [
                 jnp.broadcast_to(col[None, :, :], (h, w, self.num_feats)),
@@ -155,8 +165,15 @@ class MultiheadAttention(nn.Module):
         if key_pos is not None:
             key = key + key_pos
 
+        # xavier-uniform matches the reference Transformer.init_weights
+        # (transformer.py:677-682: xavier_init on every >1-dim weight) so
+        # from-scratch training starts from the same distribution
         dense = lambda name: nn.Dense(
-            self.embed_dims, dtype=self.dtype, param_dtype=jnp.float32, name=name
+            self.embed_dims,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
+            name=name,
         )
         b, lq, _ = query.shape
         lk = key.shape[1]
@@ -203,6 +220,7 @@ class FFN(nn.Module):
                 self.feedforward_channels,
                 dtype=self.dtype,
                 param_dtype=jnp.float32,
+                kernel_init=nn.initializers.xavier_uniform(),
                 name=f"fc{i}",
             )(out)
             out = nn.relu(out)
@@ -211,6 +229,7 @@ class FFN(nn.Module):
             self.embed_dims,
             dtype=self.dtype,
             param_dtype=jnp.float32,
+            kernel_init=nn.initializers.xavier_uniform(),
             name=f"fc{self.num_fcs - 1}",
         )(out)
         if not self.add_residual:

@@ -53,7 +53,11 @@ def gaussian_radius(det_sizes, min_overlap: float):
     a3 = 4.0 * min_overlap
     b3 = -2.0 * min_overlap * (height + width)
     c3 = (min_overlap - 1.0) * width * height
-    r3 = (-b3 + jnp.sqrt(b3 * b3 - 4.0 * a3 * c3)) / (2.0 * a3)
+    # exactly the reference's (CornerNet-derived) root: (b3 + sqrt)/2a3 with
+    # b3 NEGATIVE (gaussian_target.py:180-184).  r3 is never the unique
+    # minimum of the three cases, but standalone users of case 3 rely on the
+    # published formula, not the algebraically-nicer (-b3 + sqrt) variant.
+    r3 = (b3 + jnp.sqrt(b3 * b3 - 4.0 * a3 * c3)) / (2.0 * a3)
     return jnp.minimum(jnp.minimum(r1, r2), r3)
 
 
@@ -78,6 +82,8 @@ def gen_gaussian_target(heatmap, centers, radii, k: float = 1.0, valid=None):
     heatmap = jnp.asarray(heatmap, jnp.float32)
     h, w = heatmap.shape
     centers = jnp.asarray(centers)
+    if centers.shape[0] == 0:  # reference loop over zero centers is a no-op
+        return heatmap
     radii = jnp.floor(jnp.asarray(radii, jnp.float32))
     cx = centers[..., 0].astype(jnp.float32)[:, None, None]
     cy = centers[..., 1].astype(jnp.float32)[:, None, None]
@@ -92,11 +98,14 @@ def gen_gaussian_target(heatmap, centers, radii, k: float = 1.0, valid=None):
     g = jnp.exp(-(dx * dx + dy * dy) / (2.0 * sigma * sigma))
     # reference kernel support: the (2r+1)^2 box...
     support = (jnp.abs(dx) <= r) & (jnp.abs(dy) <= r)
-    # ...and gaussian2D's eps cutoff (h.max() == 1 at the center)
-    g = jnp.where(support & (g >= _F32_EPS), g, 0.0) * k
     if valid is not None:
-        g = jnp.where(jnp.asarray(valid, bool)[:, None, None], g, 0.0)
-    gm = g.max(axis=0)
-    # compose only where some kernel covers the pixel — the reference leaves
-    # pixels outside every kernel box untouched (even negative ones)
-    return jnp.where(gm > 0.0, jnp.maximum(heatmap, gm), heatmap)
+        support = support & jnp.asarray(valid, bool)[:, None, None]
+    # ...and gaussian2D's eps cutoff (h.max() == 1 at the center); the
+    # cutoff zeroes the VALUE but the pixel stays inside the composed box
+    g = jnp.where(g >= _F32_EPS, g, 0.0) * k
+    # compose over every pixel some kernel box covers — the reference
+    # max-composes g*k (including cutoff zeros, and negatives when k<0) over
+    # the clipped box and leaves pixels outside every box untouched
+    gm = jnp.where(support, g, -jnp.inf).max(axis=0)
+    covered = support.any(axis=0)
+    return jnp.where(covered, jnp.maximum(heatmap, gm), heatmap)

@@ -399,3 +399,73 @@ def test_no_gt_image():
     )
     assert (np.asarray(res.gt_idx) == -1).all()
     assert (np.asarray(res.weight) == 1.0).all()
+
+
+def test_scan_vs_vectorized_divergence_boundary():
+    """Constructs the EXACT documented disagreement case (assignment.py
+    module docstring / :23-26): an anchor that is a SUB-threshold candidate
+    of a smaller GT and an above-threshold candidate of a larger GT.
+
+    Reference spec: the sequential loop (label_assignment.py:169-179) only
+    claims pool members (pos + untouched); a sub-threshold candidate stays
+    ``-1`` and remains claimable by a later, larger GT.  The vectorized form
+    (the reference's own LabelAssignmentParallel spec, :322-333) resolves
+    each anchor exclusively to its min-area candidate GT first, so the
+    smaller GT absorbs the anchor and it ends NEGATIVE.
+
+    TRAINING USES THE VECTORIZED SEMANTICS (impl='auto' ==
+    'vectorized', assignment.py:357; engine/train_step.py defaults
+    assignment impl to 'auto').
+    """
+    # hand-built single-"level" anchor set: candidacy by center-in-box only
+    anchors = np.array(
+        [
+            [4, 4, 6, 6],     # A: center (5,5)  — inside g0 AND g1
+            [4, 7, 6, 9],     # B: center (5,8)  — inside g0 AND g1
+            [29, 29, 31, 31], # C: center (30,30) — inside g1 only
+        ],
+        np.float32,
+    )
+    ranges = np.tile(np.array([[-1.0, 1e8]], np.float32), (3, 1))
+    gt_boxes = np.array([[0, 0, 10, 10], [0, 0, 40, 40]], np.float32)  # g0 small, g1 large
+    gt_valid = np.ones(2, bool)
+    # dist values: A is sub-threshold for g0 (0.05 <= 0.2 * 1.0) but
+    # top-value for g1; B carries g0's max; C carries g1's other pool member
+    dist = np.array(
+        [
+            [0.05, 1.0],  # A
+            [1.0, 0.4],   # B
+            [0.0, 1.0],   # C
+        ],
+        np.float32,
+    )
+    kwargs = dict(
+        positive_num=8,       # pool < k everywhere ->
+        balance_sample=False, # ... wholesale take, weight 1 (deterministic)
+        neg_threshold=0.2,
+    )
+    args = (
+        jax.random.PRNGKey(0),
+        jnp.asarray(anchors),
+        jnp.asarray(ranges),
+        jnp.asarray(gt_boxes),
+        jnp.asarray(gt_valid),
+        jnp.asarray(dist),
+    )
+    seq = assign_labels(*args, impl="scan", **kwargs)
+    vec = assign_labels(*args, impl="vectorized", **kwargs)
+    auto = assign_labels(*args, impl="auto", **kwargs)
+
+    # sequential (reference LabelAssignment): g0 processes first, A is
+    # sub-threshold -> unclaimed -> the larger g1 claims it as positive
+    np.testing.assert_array_equal(np.asarray(seq.gt_idx), [1, 0, 1])
+    np.testing.assert_allclose(np.asarray(seq.weight), [1.0, 1.0, 1.0])
+
+    # vectorized (LabelAssignmentParallel spec): A resolves exclusively to
+    # min-area g0, where it is sub-threshold -> NEGATIVE; g1 never sees it
+    np.testing.assert_array_equal(np.asarray(vec.gt_idx), [-1, 0, 1])
+    np.testing.assert_allclose(np.asarray(vec.weight), [1.0, 1.0, 1.0])
+
+    # pin the semantics training uses: auto == vectorized
+    np.testing.assert_array_equal(np.asarray(auto.gt_idx), np.asarray(vec.gt_idx))
+    np.testing.assert_allclose(np.asarray(auto.weight), np.asarray(vec.weight))
