@@ -1,13 +1,25 @@
-"""TBLR box coder (jnp), matching the reference TBLRBBoxCoder.
+"""Box coders (jnp), matching the reference coder zoo.
 
-Reference: /root/reference/radet/core/bbox/coder/tblr_bbox_coder.py:71-172.
-Encoded layout is (top, bottom, left, right) offsets from the anchor center,
-normalized by anchor height (t, b) / width (l, r), then divided by
-``normalizer`` (RADet uses 1/8, i.e. the encoded values end up in units of the
-level stride because anchors are squares of side 8*stride).
+- TBLR (RADet's coder): /root/reference/radet/core/bbox/coder/
+  tblr_bbox_coder.py:71-172.  Encoded layout is (top, bottom, left, right)
+  offsets from the anchor center, normalized by anchor height (t, b) /
+  width (l, r), then divided by ``normalizer`` (RADet uses 1/8, i.e. the
+  encoded values end up in units of the level stride because anchors are
+  squares of side 8*stride).
+- DeltaXYWH (AnchorHead/ATSSHead's coder): delta_xywh_bbox_coder.py:78-204
+  — R-CNN (dx, dy, dw, dh) deltas with means/stds de/normalization and
+  wh_ratio_clip on decode.
+- Legacy DeltaXYWH: legacy_delta_xywh_bbox_coder.py — mmdet v1.x (w+1, h+1)
+  box extents.
+- YOLO: yolo_bbox_coder.py — stride-normalized center offsets + log w/h.
+
+All are shape-polymorphic pure functions over (..., 4) arrays — batched,
+jittable, no per-image loops.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 import jax.numpy as jnp
 
@@ -54,3 +66,171 @@ def tblr_decode(anchors, tblr, normalizer: float = 1.0 / 8.0, max_shape=None):
         y1 = jnp.clip(y1, 0, hmax)
         y2 = jnp.clip(y2, 0, hmax)
     return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def _box_cxcywh(boxes, plus_one: float = 0.0):
+    cx = (boxes[..., 0] + boxes[..., 2]) * 0.5
+    cy = (boxes[..., 1] + boxes[..., 3]) * 0.5
+    w = boxes[..., 2] - boxes[..., 0] + plus_one
+    h = boxes[..., 3] - boxes[..., 1] + plus_one
+    return cx, cy, w, h
+
+
+def delta_encode(
+    proposals,
+    gt,
+    means=(0.0, 0.0, 0.0, 0.0),
+    stds=(1.0, 1.0, 1.0, 1.0),
+    *,
+    plus_one: float = 0.0,
+):
+    """R-CNN delta encoding (reference delta_xywh_bbox_coder.py:78-120).
+
+    ``plus_one=1.0`` gives the mmdet v1.x legacy variant
+    (legacy_delta_xywh_bbox_coder.py:82-129: w/h measured as x2-x1+1).
+    Shapes: proposals/gt (..., 4) xyxy -> (..., 4) (dx, dy, dw, dh).
+    """
+    px, py, pw, ph = _box_cxcywh(proposals, plus_one)
+    gx, gy, gw, gh = _box_cxcywh(gt, plus_one)
+    deltas = jnp.stack(
+        [(gx - px) / pw, (gy - py) / ph, jnp.log(gw / pw), jnp.log(gh / ph)],
+        axis=-1,
+    )
+    means = jnp.asarray(means, deltas.dtype)
+    stds = jnp.asarray(stds, deltas.dtype)
+    return (deltas - means) / stds
+
+
+def delta_decode(
+    rois,
+    deltas,
+    means=(0.0, 0.0, 0.0, 0.0),
+    stds=(1.0, 1.0, 1.0, 1.0),
+    max_shape=None,
+    wh_ratio_clip: float = 16 / 1000,
+    clip_border: bool = True,
+    *,
+    plus_one: float = 0.0,
+):
+    """Apply (dx, dy, dw, dh) deltas to base boxes
+    (reference delta_xywh_bbox_coder.py:123-204).
+
+    Unlike the reference's (N, 4*num_classes) 2-D layout, this operates on
+    (..., 4) arrays (class-agnostic regression, the only layout the shipped
+    heads emit) and broadcasts over any leading batch dims.  ``plus_one=1.0``
+    is the legacy v1.x variant, whose border clamp uses max_shape-1
+    (legacy_delta_xywh_bbox_coder.py:199-204).
+    """
+    means = jnp.asarray(means, jnp.float32)
+    stds = jnp.asarray(stds, jnp.float32)
+    denorm = deltas * stds + means
+    dx, dy = denorm[..., 0], denorm[..., 1]
+    max_ratio = abs(float(np.log(wh_ratio_clip)))
+    dw = jnp.clip(denorm[..., 2], -max_ratio, max_ratio)
+    dh = jnp.clip(denorm[..., 3], -max_ratio, max_ratio)
+    px, py, pw, ph = _box_cxcywh(rois, plus_one)
+    gw = pw * jnp.exp(dw)
+    gh = ph * jnp.exp(dh)
+    gx = px + pw * dx
+    gy = py + ph * dy
+    x1 = gx - gw * 0.5
+    y1 = gy - gh * 0.5
+    x2 = gx + gw * 0.5
+    y2 = gy + gh * 0.5
+    if clip_border and max_shape is not None:
+        border = plus_one  # legacy clamps to max_shape - 1
+        x1 = jnp.clip(x1, 0, max_shape[1] - border)
+        y1 = jnp.clip(y1, 0, max_shape[0] - border)
+        x2 = jnp.clip(x2, 0, max_shape[1] - border)
+        y2 = jnp.clip(y2, 0, max_shape[0] - border)
+    return jnp.stack([x1, y1, x2, y2], axis=-1)
+
+
+def legacy_delta_encode(proposals, gt, means=(0.0, 0.0, 0.0, 0.0),
+                        stds=(1.0, 1.0, 1.0, 1.0)):
+    """mmdet v1.x delta encoding (legacy_delta_xywh_bbox_coder.py:82-129)."""
+    return delta_encode(proposals, gt, means, stds, plus_one=1.0)
+
+
+def legacy_delta_decode(rois, deltas, means=(0.0, 0.0, 0.0, 0.0),
+                        stds=(1.0, 1.0, 1.0, 1.0), max_shape=None,
+                        wh_ratio_clip: float = 16 / 1000):
+    """mmdet v1.x delta decoding (legacy_delta_xywh_bbox_coder.py:132-210)."""
+    return delta_decode(
+        rois, deltas, means, stds, max_shape, wh_ratio_clip, plus_one=1.0
+    )
+
+
+def yolo_encode(bboxes, gt_bboxes, stride, eps: float = 1e-6):
+    """YOLO coder encode (reference yolo_bbox_coder.py:24-57): stride-relative
+    center offsets in (eps, 1-eps) + log w/h ratios."""
+    gx, gy, gw, gh = _box_cxcywh(gt_bboxes)
+    px, py, pw, ph = _box_cxcywh(bboxes)
+    w_t = jnp.log(jnp.maximum(gw / pw, eps))
+    h_t = jnp.log(jnp.maximum(gh / ph, eps))
+    x_t = jnp.clip((gx - px) / stride + 0.5, eps, 1 - eps)
+    y_t = jnp.clip((gy - py) / stride + 0.5, eps, 1 - eps)
+    return jnp.stack([x_t, y_t, w_t, h_t], axis=-1)
+
+
+def yolo_decode(bboxes, pred_bboxes, stride):
+    """YOLO coder decode (reference yolo_bbox_coder.py:59-89)."""
+    px, py, pw, ph = _box_cxcywh(bboxes)
+    gx = (pred_bboxes[..., 0] - 0.5) * stride + px
+    gy = (pred_bboxes[..., 1] - 0.5) * stride + py
+    gw = jnp.exp(pred_bboxes[..., 2]) * pw
+    gh = jnp.exp(pred_bboxes[..., 3]) * ph
+    return jnp.stack(
+        [gx - gw * 0.5, gy - gh * 0.5, gx + gw * 0.5, gy + gh * 0.5], axis=-1
+    )
+
+
+def pseudo_encode(bboxes, gt_bboxes):
+    """PseudoBBoxCoder (reference pseudo_bbox_coder.py): identity on gt."""
+    return gt_bboxes
+
+
+def pseudo_decode(bboxes, pred_bboxes):
+    return pred_bboxes
+
+
+def build_bbox_coder(cfg: dict):
+    """Translate a reference bbox_coder config dict into (encode_fn,
+    decode_fn) closures over its parameters.  Fails fast on unimplemented
+    coder types (BucketingBBoxCoder — reachable only through SABL heads the
+    reference does not ship; see docs/PARITY.md)."""
+    cfg = dict(cfg)
+    ctype = cfg.pop("type", "DeltaXYWHBBoxCoder")
+    if ctype == "TBLRBBoxCoder":
+        normalizer = float(cfg.get("normalizer", 1.0 / 8.0))
+        return (
+            lambda a, g: tblr_encode(a, g, normalizer=normalizer),
+            lambda a, d, max_shape=None: tblr_decode(
+                a, d, normalizer=normalizer, max_shape=max_shape
+            ),
+        )
+    if ctype in ("DeltaXYWHBBoxCoder", "LegacyDeltaXYWHBBoxCoder"):
+        means = tuple(cfg.get("target_means", (0.0, 0.0, 0.0, 0.0)))
+        stds = tuple(cfg.get("target_stds", (1.0, 1.0, 1.0, 1.0)))
+        clip_border = bool(cfg.get("clip_border", True))
+        plus_one = 1.0 if ctype.startswith("Legacy") else 0.0
+        return (
+            lambda a, g: delta_encode(a, g, means, stds, plus_one=plus_one),
+            lambda a, d, max_shape=None: delta_decode(
+                a, d, means, stds, max_shape, clip_border=clip_border,
+                plus_one=plus_one,
+            ),
+        )
+    if ctype == "YOLOBBoxCoder":
+        eps = float(cfg.get("eps", 1e-6))
+        return (
+            lambda a, g, stride: yolo_encode(a, g, stride, eps=eps),
+            lambda a, d, stride: yolo_decode(a, d, stride),
+        )
+    if ctype == "PseudoBBoxCoder":
+        return pseudo_encode, pseudo_decode
+    raise KeyError(
+        f"unsupported bbox_coder type {ctype!r} (implemented: TBLR, "
+        "DeltaXYWH, LegacyDeltaXYWH, YOLO, Pseudo; BucketingBBoxCoder is "
+        "reachable only via SABL heads absent from the reference too)"
+    )
