@@ -72,8 +72,143 @@ def loss_cfg_from(cfg) -> Dict[str, Any]:
     return out
 
 
+def head_type_from_cfg(cfg_or_model) -> str:
+    """'RADetHead' | 'ATSSHead' | 'AnchorHead' from a full cfg or model cfg."""
+    model = cfg_or_model.get("model", cfg_or_model)
+    head = model.get("bbox_head", {})
+    return head.get("type", "RADetHead")
+
+
+def anchor_head_spec(cfg) -> Dict[str, Any]:
+    """Everything the generic anchor-head train/infer steps need, from a
+    reference-style config: head type, coder closures, assigner + loss
+    kwargs, optional anchor valid mask.
+
+    Sources (reference file:line): bbox_coder + loss dicts live in
+    bbox_head (anchor_head.py:42-53); the assigner, allowed_border and
+    pos_weight in train_cfg (built at anchor_head.py:79-86 /
+    atss_head.py:44-48)."""
+    model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
+    head = dict(model_cfg.get("bbox_head", {}))
+    head_type = head.get("type", "RADetHead")
+    assert head_type in ("ATSSHead", "AnchorHead"), head_type
+    from ..core.box_coder import build_bbox_coder
+
+    coder_cfg = dict(head.get("bbox_coder", {"type": "DeltaXYWHBBoxCoder"}))
+    encode_fn, decode_fn = build_bbox_coder(coder_cfg)
+
+    train_cfg = cfg.get("train_cfg") or model_cfg.get("train_cfg") or {}
+    if hasattr(train_cfg, "to_dict"):
+        train_cfg = train_cfg.to_dict()
+    train_cfg = dict(train_cfg)
+    assigner = dict(train_cfg.get("assigner", {}))
+
+    def _d(x):
+        return x.to_dict() if hasattr(x, "to_dict") else dict(x or {})
+
+    lcls = _d(head.get("loss_cls"))
+    lbox = _d(head.get("loss_bbox"))
+    loss_kwargs: Dict[str, Any] = {}
+    if head_type == "ATSSHead":
+        atype = assigner.get("type", "ATSSAssigner")
+        assert atype == "ATSSAssigner", (
+            f"ATSSHead trains with ATSSAssigner (atss_head.py:44-46), got {atype!r}"
+        )
+        lctr = _d(head.get("loss_centerness"))
+        assert lcls.get("type", "FocalLoss") == "FocalLoss" and lcls.get(
+            "use_sigmoid", True
+        ), f"ATSSHead is sigmoid-focal (atss_head.py loss_cls), got {lcls!r}"
+        from ..ops.losses import BBOX_LOSS_FNS
+
+        btype = lbox.get("type", "GIoULoss")
+        assert btype in BBOX_LOSS_FNS, f"unsupported loss_bbox {btype!r}"
+        loss_kwargs.update(
+            topk=int(assigner.get("topk", 9)),
+            quality=str(head.get("quality", "centerness")),
+            focal_gamma=float(lcls.get("gamma", 2.0)),
+            focal_alpha=float(lcls.get("alpha", 0.25)),
+            cls_loss_weight=float(lcls.get("loss_weight", 1.0)),
+            bbox_loss_type=btype,
+            bbox_loss_weight=float(lbox.get("loss_weight", 2.0)),
+            centerness_loss_weight=float(
+                lctr.get("loss_weight", 1.0) if lctr else 1.0
+            ),
+        )
+    else:  # AnchorHead
+        atype = assigner.get("type", "MaxIoUAssigner")
+        assert atype == "MaxIoUAssigner", (
+            f"AnchorHead trains with MaxIoUAssigner (every reference "
+            f"train_cfg names it), got {atype!r}"
+        )
+        assert float(assigner.get("ignore_iof_thr", -1)) < 0, (
+            "ignore_iof_thr > 0 (crowd-ignore regions) is not implemented — "
+            "no reference BOP config sets it"
+        )
+        sampler = dict(train_cfg.get("sampler", {"type": "PseudoSampler"}))
+        assert sampler.get("type", "PseudoSampler") == "PseudoSampler", (
+            f"only PseudoSampler is implemented (the sampler zoo beyond it "
+            f"is reachable only from two-stage heads absent from the "
+            f"reference; docs/PARITY.md), got {sampler!r}"
+        )
+        cls_type = lcls.get("type", "FocalLoss")
+        loss_kwargs.update(
+            pos_iou_thr=float(assigner.get("pos_iou_thr", 0.5)),
+            neg_iou_thr=(
+                tuple(assigner["neg_iou_thr"])
+                if isinstance(assigner.get("neg_iou_thr"), (list, tuple))
+                else float(assigner.get("neg_iou_thr", 0.4))
+            ),
+            min_pos_iou=float(assigner.get("min_pos_iou", 0.0)),
+            gt_max_assign_all=bool(assigner.get("gt_max_assign_all", True)),
+            match_low_quality=bool(assigner.get("match_low_quality", True)),
+            cls_loss=cls_type,
+            focal_gamma=float(lcls.get("gamma", 2.0)),
+            focal_alpha=float(lcls.get("alpha", 0.25)),
+            cls_loss_weight=float(lcls.get("loss_weight", 1.0)),
+            bbox_loss_type=lbox.get("type", "SmoothL1Loss"),
+            bbox_loss_weight=float(lbox.get("loss_weight", 1.0)),
+            smooth_l1_beta=float(lbox.get("beta", 1.0 / 9.0)),
+            reg_decoded_bbox=bool(head.get("reg_decoded_bbox", False)),
+            pos_weight=float(train_cfg.get("pos_weight", -1.0)),
+        )
+
+    # allowed_border: -1 (every shipped config) = no anchor filtering; >= 0
+    # masks anchors whose box leaves the image by more than the allowance
+    # (reference core/anchor/utils.py anchor_inside_flags)
+    valid_mask = None
+    allowed_border = float(train_cfg.get("allowed_border", -1))
+    if allowed_border >= 0:
+        from ..core.anchor_generator import build_anchor_generator, flat_anchors_for_input
+
+        gen = build_anchor_generator(dict(head["anchor_generator"]))
+        input_size = tuple(cfg.get("input_size", (480, 640)))
+        anchors, flags, _ = flat_anchors_for_input(gen, input_size)
+        h, w = input_size
+        inside = (
+            flags
+            & (anchors[:, 0] >= -allowed_border)
+            & (anchors[:, 1] >= -allowed_border)
+            & (anchors[:, 2] < w + allowed_border)
+            & (anchors[:, 3] < h + allowed_border)
+        )
+        valid_mask = inside
+
+    return dict(
+        head_type=head_type,
+        encode_fn=encode_fn,
+        decode_fn=decode_fn,
+        loss_kwargs=loss_kwargs,
+        valid_mask=valid_mask,
+    )
+
+
 def anchor_cfg_from_model(model_cfg: Dict, label_assignment_cfg: Dict | None = None) -> AnchorConfig:
     head = model_cfg.get("bbox_head", {})
+    if head.get("type", "RADetHead") != "RADetHead":
+        # generic anchor heads carry their own generator (multi-anchor);
+        # the dataset only uses this config to place distance-sampling
+        # centers, which those pipelines never run — a default is inert
+        return AnchorConfig()
     agen = dict(head.get("anchor_generator", {}))
     if label_assignment_cfg:
         # a verbatim reference pipeline LabelAssignment carries its own
@@ -90,14 +225,55 @@ def anchor_cfg_from_model(model_cfg: Dict, label_assignment_cfg: Dict | None = N
 
 
 def build_model_and_anchors(cfg) -> Tuple[Any, np.ndarray, np.ndarray, list]:
-    """(model, anchors, regress_ranges, level_counts) for cfg.input_size."""
+    """(model, anchors, aux, level_counts) for cfg.input_size.
+
+    ``aux`` is the per-anchor regress ranges for the RADet head, or the
+    per-anchor valid flags for the generic anchor heads (whose anchors come
+    from the full bbox_head.anchor_generator, possibly A > 1 per cell)."""
     model_cfg = cfg.model.to_dict() if hasattr(cfg.model, "to_dict") else dict(cfg.model)
     model = build_detector(model_cfg, dtype=cfg.get("compute_dtype", "float32"))
     input_size = tuple(cfg.get("input_size", (480, 640)))
+    if head_type_from_cfg(model_cfg) != "RADetHead":
+        from ..core.anchor_generator import (
+            build_anchor_generator,
+            flat_anchors_for_input,
+        )
+
+        gen = build_anchor_generator(dict(model_cfg["bbox_head"]["anchor_generator"]))
+        anchors, valid, counts = flat_anchors_for_input(gen, input_size)
+        return model, anchors, valid, counts
     anchors, ranges, strides, counts = generate_anchors(
         input_size, anchor_cfg_from_model(model_cfg, assignment_cfg_from(cfg))
     )
     return model, anchors, ranges, counts
+
+
+def build_infer_for_cfg(cfg, model, anchors, counts, test_cfg=None):
+    """Head-aware compiled inference step for a config (RADet vote-NMS path
+    or the generic anchor-head delta-decode + class-NMS path)."""
+    test_cfg = test_cfg if test_cfg is not None else cfg.test_cfg.to_dict()
+    img_norm = cfg.img_norm_cfg.to_dict()
+    if head_type_from_cfg(cfg.model) == "RADetHead":
+        from ..engine.train_step import build_infer_step
+
+        return build_infer_step(
+            model,
+            anchors,
+            counts,
+            img_norm=img_norm,
+            test_cfg=test_cfg,
+            normalizer=normalizer_from_cfg(cfg),
+        )
+    from ..engine.train_step import build_infer_step_anchor
+
+    return build_infer_step_anchor(
+        model,
+        anchors,
+        counts,
+        img_norm=img_norm,
+        test_cfg=test_cfg,
+        spec=anchor_head_spec(cfg),
+    )
 
 
 def init_variables(model, input_size, seed: int = 0):

@@ -24,14 +24,9 @@ class Detector:
         self.variables = variables  # may be attached after construction
         self.input_size = tuple(cfg.get("input_size", (480, 640)))
         self.classes = tuple(cfg.data.test.get("classes", ()) or ())
-        self._infer = build_infer_step(
-            model,
-            anchors,
-            counts,
-            img_norm=cfg.img_norm_cfg.to_dict(),
-            test_cfg=cfg.test_cfg.to_dict(),
-            normalizer=normalizer_from_cfg(cfg),
-        )
+        from .common import build_infer_for_cfg
+
+        self._infer = build_infer_for_cfg(cfg, model, anchors, counts)
 
 
 def show_result(img, result, class_names=None, score_thr=0.3, out_file=None):

@@ -501,8 +501,17 @@ def test_from_config(
     if strict:
         test_cfg = strict_eval_overrides(test_cfg)
 
+    from .common import build_infer_for_cfg, head_type_from_cfg
+
+    generic_head = head_type_from_cfg(cfg.model) != "RADetHead"
+
     tta = test_cfg.get("tta")
     if tta and tta.get("scales"):
+        assert not generic_head, (
+            "the `tta` config section drives the RADet vote-fuse TTA path; "
+            "ATSSHead/AnchorHead models use single-scale inference "
+            "(the reference's aug_test for them is an unreached mixin)"
+        )
         from ..core.anchors import generate_anchors
         from .common import _build_bop, anchor_cfg_from_model, assignment_cfg_from
 
@@ -594,9 +603,23 @@ def test_from_config(
             )
             if not len(view):
                 continue
-            a, _, _, c = generate_anchors(size, anchor_cfg)
+            if generic_head:
+                from ..core.anchor_generator import (
+                    build_anchor_generator,
+                    flat_anchors_for_input,
+                )
+
+                gen = build_anchor_generator(
+                    dict(cfg.model.bbox_head["anchor_generator"])
+                )
+                a, _, c = flat_anchors_for_input(gen, size)
+            else:
+                a, _, _, c = generate_anchors(size, anchor_cfg)
             results += run_inference(
-                model, variables, view, anchors=a, level_counts=c, **common_kwargs
+                model, variables, view, anchors=a, level_counts=c,
+                infer_step=build_infer_for_cfg(cfg, model, a, c, test_cfg)
+                if generic_head else None,
+                **common_kwargs,
             )
     else:
         results = run_inference(
@@ -605,6 +628,8 @@ def test_from_config(
             dataset,
             anchors=anchors,
             level_counts=counts,
+            infer_step=build_infer_for_cfg(cfg, model, anchors, counts, test_cfg)
+            if generic_head else None,
             **common_kwargs,
         )
     if fmt_only:

@@ -25,9 +25,11 @@ from ..engine.train_step import TrainState, build_train_step
 from ..parallel.mesh import create_mesh, replicated_sharding, shard_batch
 from ..utils.logging import get_root_logger
 from .common import (
+    anchor_head_spec,
     assignment_cfg_from,
     build_dataset,
     build_model_and_anchors,
+    head_type_from_cfg,
     init_variables,
     loss_cfg_from,
     normalizer_from_cfg,
@@ -165,17 +167,35 @@ def train_detector(
             state = restored
             logger.info(f"resumed from step {int(state.step)}")
 
-    train_step = build_train_step(
-        model,
-        tx,
-        anchors,
-        ranges,
-        img_norm=cfg.img_norm_cfg.to_dict(),
-        num_classes=int(cfg.model.bbox_head.num_classes),
-        assignment_cfg=assignment_cfg_from(cfg),
-        normalizer=normalizer_from_cfg(cfg),
-        loss_cfg=loss_cfg_from(cfg),
-    )
+    head_type = head_type_from_cfg(cfg.model)
+    if head_type == "RADetHead":
+        train_step = build_train_step(
+            model,
+            tx,
+            anchors,
+            ranges,
+            img_norm=cfg.img_norm_cfg.to_dict(),
+            num_classes=int(cfg.model.bbox_head.num_classes),
+            assignment_cfg=assignment_cfg_from(cfg),
+            normalizer=normalizer_from_cfg(cfg),
+            loss_cfg=loss_cfg_from(cfg),
+        )
+        batch_keys = ("image", "gt_boxes", "gt_labels", "gt_valid", "dist_vals")
+    else:
+        # generic anchor-based heads (ATSSHead/AnchorHead): IoU assignment
+        # inside the step, no distance maps in the batch
+        from ..engine.train_step import build_train_step_anchor
+
+        train_step = build_train_step_anchor(
+            model,
+            tx,
+            anchors,
+            counts,
+            img_norm=cfg.img_norm_cfg.to_dict(),
+            num_classes=int(cfg.model.bbox_head.num_classes),
+            spec=anchor_head_spec(cfg),
+        )
+        batch_keys = ("image", "gt_boxes", "gt_labels", "gt_valid")
 
     dataset = build_dataset(cfg, "train", test_mode=False)
     logger.info(f"train dataset: {len(dataset)} images, {len(dataset.CLASSES)} classes")
@@ -227,13 +247,7 @@ def train_detector(
     try:
         for i in range(start_step, total_iters):
             batch = next(it)
-            device_batch = shard_batch(
-                {
-                    k: batch[k]
-                    for k in ("image", "gt_boxes", "gt_labels", "gt_valid", "dist_vals")
-                },
-                mesh,
-            )
+            device_batch = shard_batch({k: batch[k] for k in batch_keys}, mesh)
             state, metrics = train_step(state, device_batch, rng_key)
             step = i + 1
             if log_interval and step % log_interval == 0:
@@ -307,16 +321,9 @@ def _run_eval(cfg, model, state, anchors, counts, logger, _cache):
         except (FileNotFoundError, KeyError) as e:
             logger.warning(f"skipping eval: {e}")
             return None
-        from ..engine.train_step import build_infer_step
+        from .common import build_infer_for_cfg
 
-        _cache["infer"] = build_infer_step(
-            model,
-            anchors,
-            counts,
-            img_norm=cfg.img_norm_cfg.to_dict(),
-            test_cfg=cfg.test_cfg.to_dict(),
-            normalizer=normalizer_from_cfg(cfg),
-        )
+        _cache["infer"] = build_infer_for_cfg(cfg, model, anchors, counts)
     val_dataset = _cache["dataset"]
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     results = run_inference(

@@ -229,8 +229,12 @@ class BOPDataset:
             gt_boxes=gt_boxes,
             gt_labels=gt_labels,
             gt_valid=gt_valid,
-            dist_vals=results["dist_vals"],
         )
+        # the RADet path needs per-anchor distance values; generic anchor-head
+        # pipelines (ATSSHead/AnchorHead configs) carry no GenerateDistanceMap
+        # and assign on IoU alone inside the train step
+        if "dist_vals" in results:
+            sample["dist_vals"] = results["dist_vals"]
         return sample
 
     def __getitem__(self, idx: int) -> Dict[str, Any]:

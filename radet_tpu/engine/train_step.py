@@ -155,6 +155,150 @@ def build_train_step(
     return train_step
 
 
+def build_train_step_anchor(
+    model,
+    tx,
+    anchors: np.ndarray,  # (N, 4) flat multi-level anchors (generator order)
+    num_level_anchors,  # static per-level anchor counts
+    *,
+    img_norm: Dict[str, Any],
+    num_classes: int,
+    spec: Dict[str, Any],
+):
+    """Train step for the generic anchor-based heads (ATSSHead/AnchorHead).
+
+    ``spec`` is apis.common.anchor_head_spec(cfg): head_type, coder
+    encode/decode closures, assigner kwargs, loss kwargs, optional anchor
+    valid mask.  Same jit/donation structure as the RADet step; assignment
+    is deterministic (IoU-based), so the rng arg is accepted for interface
+    parity and unused.
+    """
+    from ..models.anchor_heads import flatten_anchor_outputs
+    from ..models.anchor_loss import anchor_head_loss, atss_loss
+
+    head_type = spec["head_type"]
+    anchors_j = jnp.asarray(anchors)
+    counts = tuple(int(c) for c in num_level_anchors)
+    valid_mask = spec.get("valid_mask")
+    valid_j = None if valid_mask is None else jnp.asarray(valid_mask)
+    mean = tuple(img_norm["mean"])
+    std = tuple(img_norm["std"])
+    dtype = model.dtype
+
+    def loss_fn(params, batch_stats, batch):
+        x = preprocess_images(batch["image"], mean, std, dtype)
+        outs, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            train=True,
+            mutable=["batch_stats"],
+        )
+        if head_type == "ATSSHead":
+            cls_list, reg_list, ctr_list = outs
+            cls_flat = flatten_anchor_outputs(cls_list, num_classes)
+            reg_flat = flatten_anchor_outputs(reg_list, 4)
+            ctr_flat = flatten_anchor_outputs(ctr_list, 1)[..., 0]
+            losses = atss_loss(
+                cls_flat,
+                reg_flat,
+                ctr_flat,
+                anchors_j,
+                counts,
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                num_classes=num_classes,
+                encode_fn=spec["encode_fn"],
+                decode_fn=spec["decode_fn"],
+                valid_mask=valid_j,
+                **spec["loss_kwargs"],
+            )
+        else:
+            cls_list, reg_list = outs
+            c_out = cls_list[0].shape[-1] // model.num_base_anchors
+            cls_flat = flatten_anchor_outputs(cls_list, c_out)
+            reg_flat = flatten_anchor_outputs(reg_list, 4)
+            losses = anchor_head_loss(
+                cls_flat,
+                reg_flat,
+                anchors_j,
+                batch["gt_boxes"],
+                batch["gt_labels"],
+                batch["gt_valid"],
+                num_classes=num_classes,
+                encode_fn=spec["encode_fn"],
+                decode_fn=spec["decode_fn"],
+                valid_mask=valid_j,
+                **spec["loss_kwargs"],
+            )
+        total = sum(v for k, v in losses.items() if k.startswith("loss_"))
+        return total, (losses, mutated.get("batch_stats", batch_stats))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng_key):
+        del rng_key  # IoU-based assignment is deterministic
+        (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                batch_stats=new_batch_stats,
+                opt_state=new_opt_state,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
+def build_infer_step_anchor(
+    model,
+    anchors: np.ndarray,
+    level_counts,
+    *,
+    img_norm: Dict[str, Any],
+    test_cfg: Dict[str, Any],
+    spec: Dict[str, Any],
+    rescale: bool = True,
+):
+    """Compiled inference for ATSSHead/AnchorHead models: forward +
+    per-level row top-k + delta decode + class-aware NMS, one program."""
+    from ..models.postprocess import get_bboxes_anchor
+
+    head_type = spec["head_type"]
+    level_anchors = np.split(anchors, np.cumsum(level_counts)[:-1])
+    mean = tuple(img_norm["mean"])
+    std = tuple(img_norm["std"])
+    dtype = model.dtype
+    decode_fn = spec["decode_fn"]
+
+    @jax.jit
+    def infer(variables, images_u8, img_shapes, scale_factors) -> Detections:
+        x = preprocess_images(images_u8, mean, std, dtype)
+        outs = model.apply(variables, x, train=False)
+        factor_list = outs[2] if head_type == "ATSSHead" else None
+        return get_bboxes_anchor(
+            outs[0],
+            outs[1],
+            factor_list,
+            level_anchors,
+            img_shapes,
+            scale_factors,
+            decode_fn,
+            test_cfg=test_cfg,
+            rescale=rescale,
+        )
+
+    return infer
+
+
 def build_infer_step(
     model,
     anchors: np.ndarray,

@@ -1,3 +1,5 @@
+from .anchor_heads import AnchorHead, ATSSHead, flatten_anchor_outputs
+from .anchor_loss import anchor_head_loss, atss_loss
 from .builder import build_detector
 from .detector import RADet, flatten_head_outputs, preprocess_images
 from .fpn import FPN
@@ -14,6 +16,11 @@ from .transformer import (
 )
 
 __all__ = [
+    "AnchorHead",
+    "ATSSHead",
+    "flatten_anchor_outputs",
+    "anchor_head_loss",
+    "atss_loss",
     "build_detector",
     "RADet",
     "flatten_head_outputs",

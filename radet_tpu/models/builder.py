@@ -17,12 +17,55 @@ from .detector import RADet
 _DTYPES = {"float32": jnp.float32, "bfloat16": jnp.bfloat16, "bf16": jnp.bfloat16}
 
 
+def head_spec_from_cfg(head: Dict[str, Any]) -> Dict[str, Any]:
+    """(head_type, num_base_anchors, use_sigmoid) from a bbox_head config.
+
+    The generic heads carry their anchor generator in-config (reference
+    anchor_head.py:37-41,89-92: ``num_anchors = num_base_anchors[0]``, which
+    mmdet assumes uniform across levels for everything except SSD heads —
+    enforced here).
+    """
+    head_type = head.get("type", "RADetHead")
+    if head_type == "RADetHead":
+        return dict(head_type=head_type, num_base_anchors=1, use_sigmoid=True)
+    assert head_type in ("ATSSHead", "AnchorHead"), (
+        f"unknown bbox_head type {head_type!r} (reference registers "
+        "RADetHead/ATSSHead/AnchorHead; AnchorFreeHead is abstract)"
+    )
+    from ..core.anchor_generator import build_anchor_generator
+
+    agen = head.get("anchor_generator")
+    assert agen is not None, f"{head_type} requires bbox_head.anchor_generator"
+    gen = build_anchor_generator(dict(agen))
+    nba = gen.num_base_anchors
+    assert len(set(nba)) == 1, (
+        f"per-level anchor counts must be uniform for {head_type} "
+        f"(got {nba}; SSD-style heads are not in the reference surface)"
+    )
+    lcls = head.get("loss_cls") or {}
+    use_sigmoid = bool(dict(lcls).get("use_sigmoid", True))
+    return dict(
+        head_type=head_type, num_base_anchors=nba[0], use_sigmoid=use_sigmoid
+    )
+
+
 def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     cfg = dict(model_cfg)
-    assert cfg.get("type", "RADet") == "RADet", f"unknown detector type {cfg.get('type')}"
+    det_type = cfg.get("type", "RADet")
+    assert det_type in ("RADet", "SingleStageDetector"), (
+        f"unknown detector type {det_type!r} (reference registers RADet and "
+        "SingleStageDetector, detectors/__init__.py)"
+    )
     backbone = dict(cfg.get("backbone", {}))
     neck = dict(cfg.get("neck", {}))
     head = dict(cfg.get("bbox_head", {}))
+    hspec = head_spec_from_cfg(head)
+    if det_type == "RADet":
+        assert hspec["head_type"] == "RADetHead", (
+            "detector type 'RADet' pairs with RADetHead (radet.py:19-32 "
+            "threads points_to_gt_index through); use "
+            "type='SingleStageDetector' for ATSSHead/AnchorHead"
+        )
     if dtype is None:
         dtype = _DTYPES.get(cfg.get("dtype", "float32"), jnp.float32)
     elif isinstance(dtype, str):
@@ -98,5 +141,8 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         stacked_convs=head.get("stacked_convs", 4),
         feat_channels=head.get("feat_channels", 256),
         head_quant=head.get("quant", None),
+        head_type=hspec["head_type"],
+        num_base_anchors=hspec["num_base_anchors"],
+        head_use_sigmoid=hspec["use_sigmoid"],
         dtype=dtype,
     )

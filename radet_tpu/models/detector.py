@@ -65,6 +65,12 @@ class RADet(nn.Module):
     stacked_convs: int = 4
     feat_channels: int = 256
     head_quant: Optional[str] = None  # None | 'int8' (see radet_head._Int8Conv)
+    # which dense head tops the pyramid: RADetHead (the flagship), or the
+    # generic anchor-based family (reference dense_heads/__init__.py exports
+    # exactly these; AnchorFreeHead is abstract)
+    head_type: str = "RADetHead"  # 'RADetHead' | 'ATSSHead' | 'AnchorHead'
+    num_base_anchors: int = 1  # anchors per cell (A) for the generic heads
+    head_use_sigmoid: bool = True  # AnchorHead: C vs C+1 cls channels
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -166,16 +172,48 @@ class RADet(nn.Module):
                 f"unsupported neck_type={self.neck_type!r} "
                 "(expected 'FPN' or 'ChannelMapper')"
             )
-        self.bbox_head = RADetHead(
-            num_classes=self.num_classes,
-            in_channels=self.fpn_out_channels,
-            feat_channels=self.feat_channels,
-            stacked_convs=self.stacked_convs,
-            num_levels=head_levels,
-            dtype=self.dtype,
-            quant=self.head_quant,
-            name="bbox_head",
-        )
+        if self.head_type == "RADetHead":
+            self.bbox_head = RADetHead(
+                num_classes=self.num_classes,
+                in_channels=self.fpn_out_channels,
+                feat_channels=self.feat_channels,
+                stacked_convs=self.stacked_convs,
+                num_levels=head_levels,
+                dtype=self.dtype,
+                quant=self.head_quant,
+                name="bbox_head",
+            )
+        elif self.head_type == "ATSSHead":
+            from .anchor_heads import ATSSHead
+
+            self.bbox_head = ATSSHead(
+                num_classes=self.num_classes,
+                in_channels=self.fpn_out_channels,
+                feat_channels=self.feat_channels,
+                stacked_convs=self.stacked_convs,
+                num_levels=head_levels,
+                num_anchors=self.num_base_anchors,
+                dtype=self.dtype,
+                quant=self.head_quant,
+                name="bbox_head",
+            )
+        elif self.head_type == "AnchorHead":
+            from .anchor_heads import AnchorHead
+
+            self.bbox_head = AnchorHead(
+                num_classes=self.num_classes,
+                in_channels=self.fpn_out_channels,
+                num_levels=head_levels,
+                num_anchors=self.num_base_anchors,
+                use_sigmoid_cls=self.head_use_sigmoid,
+                dtype=self.dtype,
+                name="bbox_head",
+            )
+        else:
+            raise ValueError(
+                f"unsupported head_type {self.head_type!r} "
+                "(RADetHead | ATSSHead | AnchorHead)"
+            )
 
     def __call__(self, images, train: bool = False):
         feats = self.backbone(images, train=train)

@@ -201,6 +201,93 @@ def select_candidates_global(
     return boxes, jnp.where(valid, top_scores, 0.0), g_ious, label, valid, g_anchors
 
 
+def get_bboxes_anchor(
+    cls_list,
+    reg_list,
+    factor_list,  # per-level (B, H, W, A) centerness maps, or None
+    anchors_per_level,  # list of (N_l, 4) — N_l includes the A multiplicity
+    img_shapes,  # (B, 2) resized (h, w)
+    scale_factors,  # (B, 4)
+    decode_fn,  # (anchors, deltas, max_shape=...) -> boxes (core.box_coder)
+    *,
+    test_cfg: dict,
+    rescale: bool = True,
+    with_nms: bool = True,
+) -> Detections:
+    """Batched static-shape inference for the generic anchor heads.
+
+    Replaces the reference's per-image loop (ATSSHead._get_bboxes_single,
+    atss_head.py:389-479 + multiclass_nms, core/post_processing/
+    bbox_nms.py:8-80): per level, nms_pre ANCHOR rows are kept by max
+    (score x factor); rows are delta-decoded with per-image border clamp;
+    all (box, class) pairs above score_thr enter one global top-k down to
+    ``nms_topk``; class-aware NMS emits max_per_img fixed slots + validity.
+    """
+    nms_cfg = dict(test_cfg.get("nms", {"type": "nms", "iou_threshold": 0.6}))
+    nms_cfg.pop("type", None)
+    iou_threshold = float(nms_cfg.pop("iou_threshold", 0.6))
+    score_thr = float(test_cfg.get("score_thr", 0.05))
+    nms_pre = int(test_cfg.get("nms_pre", 1000))
+    max_per_img = int(test_cfg.get("max_per_img", 100))
+    nms_topk = int(test_cfg.get("nms_topk", 1024))
+
+    hw = img_shapes.astype(jnp.float32)
+    max_shape = (hw[:, 0:1], hw[:, 1:2])  # broadcast over (B, K) coords
+
+    all_boxes, all_scores = [], []
+    for lvl, (cls_map, reg_map) in enumerate(zip(cls_list, reg_list)):
+        b = cls_map.shape[0]
+        n_l = anchors_per_level[lvl].shape[0]
+        c = cls_map.reshape(b, n_l, -1).shape[-1]
+        scores = jax.nn.sigmoid(cls_map.reshape(b, n_l, c))
+        if factor_list is not None:
+            factors = jax.nn.sigmoid(factor_list[lvl].reshape(b, n_l))
+            scores = scores * factors[..., None]
+        regs = reg_map.reshape(b, n_l, 4)
+        anchors_j = jnp.broadcast_to(
+            jnp.asarray(anchors_per_level[lvl])[None], (b, n_l, 4)
+        )
+        if n_l > nms_pre:
+            row_rank = scores.max(axis=-1)  # (B, n_l)
+            _, top_idx = jax.lax.top_k(row_rank, nms_pre)
+            g_anchors, g_regs, g_scores = _select_rows(
+                top_idx, [anchors_j, regs, scores], n_l
+            )
+        else:
+            g_anchors, g_regs, g_scores = anchors_j, regs, scores
+        boxes = decode_fn(g_anchors, g_regs, max_shape=max_shape)
+        all_boxes.append(boxes)
+        all_scores.append(g_scores)
+
+    boxes = jnp.concatenate(all_boxes, axis=1)  # (B, K, 4)
+    scores = jnp.concatenate(all_scores, axis=1)  # (B, K, C)
+    if rescale:
+        boxes = boxes / scale_factors[:, None, :]
+
+    b, k, c = scores.shape
+    masked = jnp.where(scores > score_thr, scores, NEG_INF)
+    if not with_nms:
+        return Detections(
+            boxes=boxes,
+            scores=scores.max(axis=-1),
+            labels=jnp.argmax(scores, axis=-1).astype(jnp.int32),
+            valid=(masked > NEG_INF).any(axis=-1),
+        )
+    kk = min(nms_topk, k * c)
+    top_scores, pair_idx = jax.lax.top_k(masked.reshape(b, k * c), kk)
+    box_idx = pair_idx // c
+    labels = (pair_idx % c).astype(jnp.int32)
+    valid = top_scores > NEG_INF
+    (g_boxes,) = _select_rows(box_idx, [boxes], k)
+    nms_fn = functools.partial(
+        batched_nms_device, iou_threshold=iou_threshold, max_out=max_per_img
+    )
+    ob, ol, osc, ov = jax.vmap(nms_fn)(
+        g_boxes, jnp.where(valid, top_scores, 0.0), labels, valid
+    )
+    return Detections(boxes=ob, scores=osc, labels=ol, valid=ov)
+
+
 def get_bboxes(
     cls_list,
     reg_list,

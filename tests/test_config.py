@@ -88,3 +88,37 @@ def test_custom_imports(tmp_path, monkeypatch):
         "y = 2\n"
     )
     assert Config.fromfile(str(ok)).y == 2
+
+
+def test_atss_and_retina_configs_build():
+    """The shipped generic-anchor-head configs build the detector, the
+    multi-anchor grid, and the train/infer specs (VERDICT r3 item 1)."""
+    import numpy as np
+
+    from radet_tpu.apis.common import (
+        anchor_head_spec,
+        build_model_and_anchors,
+        head_type_from_cfg,
+    )
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for name, head_type, a_per_cell in (
+        ("atss_r50_fpn_ycbv_pbr.py", "ATSSHead", 1),
+        ("retina_r50_fpn_ycbv_pbr.py", "AnchorHead", 9),
+    ):
+        cfg = Config.fromfile(os.path.join(here, "configs", "atss", name))
+        assert head_type_from_cfg(cfg.model) == head_type
+        model, anchors, valid, counts = build_model_and_anchors(cfg)
+        assert model.head_type == head_type
+        assert model.num_base_anchors == a_per_cell
+        # 480x640 pyramid: sum over levels of ceil(h/s)*ceil(w/s)*A
+        expected = sum(
+            int(np.ceil(480 / s)) * int(np.ceil(640 / s)) * a_per_cell
+            for s in (8, 16, 32, 64, 128)
+        )
+        assert anchors.shape == (expected, 4)
+        assert sum(counts) == expected
+        spec = anchor_head_spec(cfg)
+        assert spec["head_type"] == head_type
+        assert callable(spec["encode_fn"]) and callable(spec["decode_fn"])
+        assert spec["valid_mask"] is None  # allowed_border=-1
