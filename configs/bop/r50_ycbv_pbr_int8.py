@@ -1,0 +1,18 @@
+# int8-tower deploy variant of the YCB-V flagship.
+#
+# Flips the head tower's 3x3 convs to dynamically-quantized int8
+# (models/radet_head.py::_Int8Conv): per-output-channel symmetric weight
+# quant + per-tensor dynamic activation quant, int32 MXU accumulation.  The
+# param tree is identical to the bf16 model, so any trained/converted
+# r50_ycbv_pbr checkpoint loads unchanged — this is a deploy-time switch,
+# not a different model.  The v5e MXU multiplies int8 at 2x the bf16 rate
+# and the tower runs at 97% of bf16 MXU peak, making this the inference
+# throughput lever (bench.py measures both; the detection delta vs bf16 is
+# bounded by tests/test_int8_deploy.py).
+_base_ = ["./r50_ycbv_pbr.py"]
+
+model = dict(
+    bbox_head=dict(
+        quant="int8",
+    ),
+)

@@ -41,6 +41,8 @@ def parse_args():
     p.add_argument("--peak-tflops", type=float, default=197.0, help="v5e bf16 peak")
     p.add_argument("--peak-bw-gbs", type=float, default=819.0, help="v5e HBM GB/s")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--quant", default=None, choices=["int8"],
+                   help="profile the quantized head-tower variant")
     return p.parse_args()
 
 
@@ -53,7 +55,7 @@ def capture_trace(args):
     from radet_tpu.engine.train_step import build_infer_step
 
     h, w = args.input_size
-    model, anchors, ranges, counts = _flagship((h, w))
+    model, anchors, ranges, counts = _flagship((h, w), quant=args.quant)
     variables = model.init(
         jax.random.PRNGKey(0), jnp.zeros((1, h, w, 3), jnp.float32), train=False
     )

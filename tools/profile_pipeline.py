@@ -19,9 +19,17 @@ With no --config, a synthetic 480x640 BOP scene set (8 objects/image, the
 YCB-V-like density) is generated into --work-dir so the tool runs without
 datasets. Prints a table plus one JSON summary line.
 
+``--pipeline test`` profiles the EVAL-side host pipeline instead (decode +
+resize + pad — no masks, no augmentation, no distance maps), against the
+~1000 img/s device inference headline (bench.py): the host side of serving
+is far cheaper than training's, and this prints the measured ms/sample and
+the cores-to-sustain arithmetic for the inference rate (VERDICT r3 item 6;
+measured numbers recorded in docs/DESIGN.md).
+
 Usage:
   python tools/profile_pipeline.py [--config CFG] [--samples 40]
       [--workers 1 2 4] [--target-img-s 350] [--mode thread process]
+      [--pipeline train|test]
 """
 
 import argparse
@@ -43,7 +51,17 @@ def parse_args():
     p.add_argument("--samples", type=int, default=40)
     p.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     p.add_argument("--mode", nargs="+", default=["thread", "process"])
-    p.add_argument("--target-img-s", type=float, default=350.0)
+    p.add_argument(
+        "--pipeline", choices=["train", "test"], default="train",
+        help="which host pipeline to profile: the training chain (decode+"
+        "masks+aug+distance maps) or the eval chain (decode+resize+pad)",
+    )
+    p.add_argument(
+        "--target-img-s", type=float, default=None,
+        help="device rate to sustain (default: 350 for --pipeline train — "
+        "the measured train step — and 1000 for --pipeline test — the "
+        "bench.py inference headline)",
+    )
     p.add_argument("--batch", type=int, default=16)
     p.add_argument("--work-dir", default=None, help="where to generate the synthetic scene")
     p.add_argument("--input-size", type=int, nargs=2, default=(480, 640))
@@ -72,6 +90,18 @@ def _synthetic_dataset(args):
         cv2.imwrite(bg_file, np.random.RandomState(0).randint(
             0, 255, (*args.input_size, 3), np.uint8))
     h, w = args.input_size
+    if args.pipeline == "test":
+        # the eval/serving chain (reference test_pipeline: LoadImageFromFile
+        # -> Resize keep_ratio -> Pad; no annotations, no aug, no masks)
+        pipeline = [
+            dict(type="LoadImageFromFile"),
+            dict(type="Resize", img_scale=(w, h), keep_ratio=True),
+            dict(type="Pad", size_divisor=32),
+        ]
+        return BOPDataset(
+            ann, img_prefix=osp.join(root, "train_pbr/"), pipeline=pipeline,
+            test_mode=True, input_size=(h, w),
+        )
     pipeline = [
         dict(type="LoadImageFromFile"),
         dict(type="LoadAnnotations", with_bbox=True, with_bop_mask=True),
@@ -100,6 +130,8 @@ def _config_dataset(args):
     from radet_tpu.utils import Config
 
     cfg = Config.fromfile(args.config)
+    if args.pipeline == "test":
+        return build_dataset(cfg, "test", test_mode=True)
     return build_dataset(cfg, "train", test_mode=False)
 
 
@@ -148,6 +180,8 @@ def loader_rate(ds, batch, workers, mode, n_batches=6):
 
 def main():
     args = parse_args()
+    if args.target_img_s is None:
+        args.target_img_s = 1000.0 if args.pipeline == "test" else 350.0
     ds = _config_dataset(args) if args.config else _synthetic_dataset(args)
     n = min(args.samples, max(8, len(ds)))
 
@@ -189,6 +223,7 @@ def main():
             print(f"loader {mode} x{wk}: {r:.1f} img/s")
 
     summary = dict(
+        pipeline=args.pipeline,
         per_sample_ms=round(per_sample * 1000, 2),
         single_core_img_s=round(single_core_img_s, 1),
         target_img_s=args.target_img_s,
