@@ -24,7 +24,7 @@ from typing import Any, List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .radet_head import ConvGNBlock, _bias_init_with_prob
+from .radet_head import ConvGNBlock, _bias_init_with_prob, _run_tower
 
 Dtype = Any
 
@@ -79,12 +79,8 @@ class ATSSHead(nn.Module):
         assert len(feats) == self.num_levels
         cls_out, reg_out, ctr_out = [], [], []
         for lvl, x in enumerate(feats):
-            cls_feat = x
-            reg_feat = x
-            for conv in self.cls_convs:
-                cls_feat = conv(cls_feat)
-            for conv in self.reg_convs:
-                reg_feat = conv(reg_feat)
+            cls_feat = _run_tower(self.cls_convs, x, self.quant)
+            reg_feat = _run_tower(self.reg_convs, x, self.quant)
             cls_score = self.atss_cls(cls_feat).astype(jnp.float32)
             # ATSS: Scale, no exp, NO ReLU (atss_head.py:142-143)
             bbox_pred = self.atss_reg(reg_feat).astype(jnp.float32) * self.scales[lvl]

@@ -38,13 +38,22 @@ class _Int8Conv(nn.Module):
     so int8 is the only remaining speedup for this compute-bound block.
     Measured on chip: 1.6-2.0x per conv vs bf16 at the tower shape.
 
-    Quantization recipe (standard PTQ-dynamic):
+    Quantization recipe (standard PTQ-dynamic, with a zero-cost static-scale
+    fast path between tower blocks):
       - weights: symmetric per-OUTPUT-CHANNEL absmax int8 (computed from the
         live f32 kernel at trace time — no converted checkpoint or
         calibration pass needed; XLA constant-folds it after freezing),
-      - activations: symmetric per-TENSOR absmax int8, computed dynamically
-        per batch (one fused reduce over the input; dynamic scales track the
-        ReLU/GN output range exactly, so no calibration drift),
+      - activations: symmetric per-TENSOR int8.  The scale is dynamic
+        (absmax reduce) only for the tower's FIRST conv, whose input is the
+        unbounded FPN feature; every later block receives an ALREADY
+        QUANTIZED int8 tensor + scale from the preceding ConvGNBlock, whose
+        GN params bound the activation range statically (see there).
+        Measured on chip (tools/profile_infer.py --quant int8, batch 128):
+        the original per-conv dynamic recipe ran every conv at 379 TFLOP/s —
+        2.0x the 191 TFLOP/s bf16 peak — but its per-conv absmax reduce +
+        standalone quantize passes cost ~1.5 ms each, eating ~12 of the
+        ~15 ms the MXU saved.  The static-scale path removes those passes
+        and halves the inter-block HBM tensor bytes,
       - accumulation in int32 on the MXU, dequant folded into the following
         GroupNorm's f32 cast.
 
@@ -54,9 +63,12 @@ class _Int8Conv(nn.Module):
     """
 
     feat_channels: int
+    # storage dtype of the dequantized output: bf16 halves the bytes the
+    # following GroupNorm's two passes read (GN still reduces in f32)
+    out_dtype: Dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x_scale=None):
         kernel = self.param(
             "kernel",
             nn.initializers.normal(0.01),
@@ -66,9 +78,15 @@ class _Int8Conv(nn.Module):
         s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # (Cout,)
         s_w = jnp.maximum(s_w, 1e-12)
         w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
-        x_f = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(x_f)) / 127.0, 1e-12)
-        x_q = jnp.clip(jnp.round(x_f / s_x), -127, 127).astype(jnp.int8)
+        if x.dtype == jnp.int8:
+            # pre-quantized by the previous ConvGNBlock (static GN bound)
+            assert x_scale is not None
+            x_q, s_x = x, x_scale
+        else:
+            x_f = x.astype(jnp.float32)
+            s_x = x_scale if x_scale is not None else jnp.max(jnp.abs(x_f)) / 127.0
+            s_x = jnp.maximum(s_x, 1e-12)
+            x_q = jnp.clip(jnp.round(x_f / s_x), -127, 127).astype(jnp.int8)
         dn = jax.lax.conv_dimension_numbers(
             x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
         )
@@ -80,18 +98,33 @@ class _Int8Conv(nn.Module):
             dimension_numbers=dn,
             preferred_element_type=jnp.int32,
         )
-        return y.astype(jnp.float32) * (s_x * s_w)
+        return (y.astype(jnp.float32) * (s_x * s_w)).astype(self.out_dtype)
 
 
 class ConvGNBlock(nn.Module):
+    """3x3 conv (bf16 or int8) + GroupNorm(32) + ReLU.
+
+    int8 inter-block contract: with ``emit_int8=True`` the block returns
+    ``(y_int8, scale)`` instead of a float tensor — the ReLU'd GN output
+    quantized with the STATIC per-tensor bound
+    ``max_c(k*|gamma_c| + |beta_c|) / 127``:  GN standardizes each group to
+    unit variance, so post-GN activations are bounded by ``k`` standard
+    deviations (k=8; a >8-sigma value in a ~10^8-element tensor is
+    vanishingly rare, and symmetric clipping of such outliers is standard
+    clip-calibration PTQ).  The bound depends only on the GN params, so XLA
+    constant-folds the scale — the quantize fuses into the GN epilogue and
+    the inter-block tensor is written once, as int8.
+    """
+
     feat_channels: int
     dtype: Dtype = jnp.float32
     quant: Optional[str] = None  # None | 'int8'
+    act_bound_sigma: float = 8.0  # k in the static GN activation bound
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, x_scale=None, emit_int8: bool = False):
         if self.quant == "int8":
-            x = _Int8Conv(self.feat_channels, name="conv")(x)
+            x = _Int8Conv(self.feat_channels, name="conv")(x, x_scale)
         else:
             x = nn.Conv(
                 self.feat_channels,
@@ -104,10 +137,36 @@ class ConvGNBlock(nn.Module):
                 name="conv",
             )(x)
         # GroupNorm in fp32 for numerical stability under bf16 compute.
-        x = nn.GroupNorm(
+        gn = nn.GroupNorm(
             num_groups=32, epsilon=1e-5, dtype=jnp.float32, param_dtype=jnp.float32, name="gn"
-        )(x.astype(jnp.float32))
-        return nn.relu(x).astype(self.dtype)
+        )
+        y = nn.relu(gn(x.astype(jnp.float32)))
+        if not (emit_int8 and self.quant == "int8"):
+            return y.astype(self.dtype)
+        gamma = gn.variables["params"]["scale"]
+        beta = gn.variables["params"]["bias"]
+        bound = jnp.max(self.act_bound_sigma * jnp.abs(gamma) + jnp.abs(beta))
+        s = jnp.maximum(bound, 1e-6) / 127.0
+        y_q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+        return y_q, s
+
+
+def _run_tower(blocks, x, quant):
+    """Run a stacked ConvGNBlock tower; under int8, intermediate blocks hand
+    the next block a pre-quantized int8 tensor + static scale (see
+    ConvGNBlock) and only the LAST block materializes a float output."""
+    if quant != "int8":
+        for blk in blocks:
+            x = blk(x)
+        return x
+    scale = None
+    for i, blk in enumerate(blocks):
+        last = i == len(blocks) - 1
+        out = blk(x, scale, emit_int8=not last)
+        if last:
+            return out
+        x, scale = out
+    return x  # zero-block tower (not a reference configuration)
 
 
 class RADetHead(nn.Module):
@@ -159,12 +218,8 @@ class RADetHead(nn.Module):
         assert len(feats) == self.num_levels
         cls_out, reg_out, iou_out = [], [], []
         for lvl, x in enumerate(feats):
-            cls_feat = x
-            reg_feat = x
-            for conv in self.cls_convs:
-                cls_feat = conv(cls_feat)
-            for conv in self.reg_convs:
-                reg_feat = conv(reg_feat)
+            cls_feat = _run_tower(self.cls_convs, x, self.quant)
+            reg_feat = _run_tower(self.reg_convs, x, self.quant)
             cls_score = self.conv_cls(cls_feat).astype(jnp.float32)
             bbox_pred = self.conv_reg(reg_feat).astype(jnp.float32) * self.scales[lvl]
             # RADet applies ReLU on the reg output (radet_head.py:29)
