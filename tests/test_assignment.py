@@ -4,6 +4,7 @@ import numpy as np
 
 from radet_tpu.core import generate_anchors
 from radet_tpu.core.assignment import assign_labels, candidate_mask
+import pytest
 
 
 def _setup(img=(480, 640), max_gt=8):
@@ -326,6 +327,7 @@ def test_pool_structure_matches_vectorized_oracle(rng):
     np.testing.assert_array_equal(gt_idx != -1, union)
 
 
+@pytest.mark.slow
 def test_vectorized_matches_scan_on_disjoint_gts(rng):
     """With non-overlapping GTs the per-GT pools coincide, so the vectorized
     and scan paths must agree BITWISE (shared per-GT key split + sampler)."""

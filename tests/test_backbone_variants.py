@@ -270,16 +270,19 @@ def _convert_to_flax_vars(tmodel, fmodel, x_shape):
     return flax.traverse_util.unflatten_dict(flat_c)
 
 
+# One representative (ResNeXt-50 grouped conv) stays in the fast suite; the
+# full variant sweep is `slow` (each case torch-transcribes a 50-layer net on
+# a 1-core CI host — ~25 s apiece).
 @pytest.mark.parametrize(
     "depth,kwargs",
     [
-        (18, dict(deep_stem=True, avg_down=True)),  # ResNetV1d-18
+        pytest.param(18, dict(deep_stem=True, avg_down=True), marks=pytest.mark.slow),  # ResNetV1d-18
         (50, dict(groups=32, base_width=4)),  # ResNeXt-50 32x4d
-        (50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4)),  # ResNeSt-style combo
-        (50, dict(deep_stem=True, avg_down=True, scales=4, base_width=26)),  # Res2Net-50
-        (50, dict(deep_stem=True, avg_down=True, radix=2)),  # ResNeSt-50
+        pytest.param(50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4), marks=pytest.mark.slow),  # ResNeSt-style combo
+        pytest.param(50, dict(deep_stem=True, avg_down=True, scales=4, base_width=26), marks=pytest.mark.slow),  # Res2Net-50
+        pytest.param(50, dict(deep_stem=True, avg_down=True, radix=2), marks=pytest.mark.slow),  # ResNeSt-50
         # grouped split-attention stresses the group-major gate layout
-        (50, dict(deep_stem=True, avg_down=True, radix=2, groups=2, base_width=16)),
+        pytest.param(50, dict(deep_stem=True, avg_down=True, radix=2, groups=2, base_width=16), marks=pytest.mark.slow),
     ],
 )
 def test_variant_forward_parity(depth, kwargs, rng):
@@ -374,6 +377,7 @@ def test_regnet_stage_params_match_published():
     assert blocks32 == [2, 6, 15, 2]
 
 
+@pytest.mark.slow
 def test_regnet_forward_parity(rng):
     import jax.numpy as jnp
 
@@ -400,6 +404,7 @@ def test_regnet_forward_parity(rng):
         np.testing.assert_allclose(f, t, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_builder_backbone_types():
     import jax
     import jax.numpy as jnp

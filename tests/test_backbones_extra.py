@@ -140,6 +140,7 @@ class TorchDarknet(tnn.Module):
         return outs
 
 
+@pytest.mark.slow
 def test_darknet_parity(rng):
     import jax.numpy as jnp
 
@@ -291,6 +292,7 @@ class TorchHRNet(tnn.Module):
         return y_list
 
 
+@pytest.mark.slow
 def test_hrnet_parity(rng):
     import jax.numpy as jnp
 
@@ -474,6 +476,7 @@ class TorchHourglassNet(tnn.Module):
         return out_feats
 
 
+@pytest.mark.slow
 def test_hourglass_parity(rng):
     import jax.numpy as jnp
 
@@ -616,7 +619,10 @@ class TorchDetectoRSResNet(tnn.Module):
         return outs
 
 
-@pytest.mark.parametrize("groups,base_width", [(1, 4), (32, 4)])
+@pytest.mark.parametrize(
+    "groups,base_width",
+    [pytest.param(1, 4, marks=pytest.mark.slow), (32, 4)],
+)
 def test_detectors_resnet_sac_parity(rng, groups, base_width):
     """groups=1: DetectoRS_ResNet; groups=32: DetectoRS_ResNeXt 32x4d
     (grouped-width bottlenecks + grouped SAC, detectors_resnext.py)."""
@@ -663,6 +669,7 @@ def test_detectors_resnet_sac_parity(rng, groups, base_width):
     _assert_outs_match(t_outs, f_outs, rtol=1e-3, atol=1e-2)
 
 
+@pytest.mark.slow
 def test_detectors_resnet_rfp_parity(rng):
     """rfp_forward equivalence: per-stage RFP feats added through the
     zero-init 1x1 on each stage's first block, + output_img contract."""
@@ -820,6 +827,7 @@ def test_trident_resnet_parity(rng, branch_idx):
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_builder_extra_backbones():
     import jax
     import jax.numpy as jnp

@@ -7,6 +7,7 @@ import numpy as np
 
 from radet_tpu.core import generate_anchors
 from radet_tpu.models.postprocess import get_bboxes
+import pytest
 
 
 def _maps_with_detections(rng, c=4, n_boxes=12):
@@ -23,6 +24,7 @@ def _maps_with_detections(rng, c=4, n_boxes=12):
     return cls_list, reg_list, iou_list, np.split(anchors, np.cumsum(counts)[:-1])
 
 
+@pytest.mark.slow
 def test_global_matches_per_level(rng):
     cls_list, reg_list, iou_list, level_anchors = _maps_with_detections(rng)
     shapes = jnp.asarray([[128.0, 160.0]])
@@ -86,6 +88,7 @@ def _adversarial_maps(rng, c=4, n_hot=700):
     return cls_list, reg_list, iou_list, np.split(anchors, np.cumsum(counts)[:-1])
 
 
+@pytest.mark.slow
 def test_strict_eval_overrides_recover_reference_semantics(rng):
     """VERDICT r1 item 6: on an adversarial scene (>512 over-threshold
     candidates) the deploy path (global approx top-k, nms_topk=512) deviates

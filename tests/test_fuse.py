@@ -76,9 +76,15 @@ def _check_exact(model, variables, x, min_fused, mild=False, **call_kw):
         (dict(depth=18), 17, False),  # stem + 8 basic blocks x2 + downsample bns
         (dict(depth=50, deep_stem=True, avg_down=True), 40, False),  # V1d
         (dict(depth=50, groups=32, base_width=4), 40, False),  # ResNeXt
-        (dict(depth=50, scales=4, base_width=26, deep_stem=True, avg_down=True), 40, False),  # Res2Net
+        pytest.param(
+            dict(depth=50, scales=4, base_width=26, deep_stem=True, avg_down=True),
+            40, False, marks=pytest.mark.slow,
+        ),  # Res2Net
         # ResNeSt (incl. the fc1/bn1 gate pair) is gated -> mild randomization
-        (dict(depth=50, radix=2, deep_stem=True, avg_down=True), 40, True),
+        pytest.param(
+            dict(depth=50, radix=2, deep_stem=True, avg_down=True),
+            40, True, marks=pytest.mark.slow,
+        ),
     ],
 )
 def test_resnet_family_fuse_exact(kwargs, min_fused, mild):

@@ -197,6 +197,7 @@ def test_normalize_mismatch_fails_fast():
         )
 
 
+@pytest.mark.slow
 def test_reference_style_config_trains(tmp_path):
     """A config whose assignment params live ONLY in the pipeline's
     LabelAssignment entry (the reference layout) trains a step."""

@@ -6,6 +6,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from radet_tpu.models.resnet import ResNet
+import pytest
 
 
 def _loss_fn(model):
@@ -18,6 +19,7 @@ def _loss_fn(model):
     return f
 
 
+@pytest.mark.slow
 def test_with_cp_matches_plain_gradients():
     x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 48, 3), jnp.float32)
     plain = ResNet(depth=18, frozen_stages=-1)
