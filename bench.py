@@ -98,12 +98,17 @@ def main():
     dt = time.perf_counter() - t0
     ips = BATCH * ITERS / dt
 
-    # int8 deploy variant (configs/bop/r50_ycbv_pbr_int8.py): identical param
-    # tree, tower convs dynamically quantized to the MXU's 2x-rate int8 path
-    # (models/radet_head.py::_Int8Conv).  Measured alongside — the bf16 number
-    # stays the headline; detection delta vs bf16 is bounded by
-    # tests/test_int8_deploy.py.
-    model_i8, _, _, _ = _flagship((h, w), quant="int8")
+    # full-int8 deploy variant (configs/bop/r50_ycbv_pbr_int8_full.py):
+    # identical param tree; head tower convs on the MXU's 2x-rate int8 path
+    # AND backbone conv2/conv3 trunk convs int8 with static per-channel
+    # frozen-BN-derived activation scales — halving the HBM-bound stages'
+    # activation bytes (ops/quant.py, models/resnet.py).  Measured alongside
+    # — the bf16 number stays the headline; deltas vs bf16 are bounded by
+    # tests/test_int8_deploy.py.  The head-only variant
+    # (r50_ycbv_pbr_int8.py, tighter accuracy envelope) measured 1122.9
+    # img/s on this chip (round 4) and is not re-measured here to keep the
+    # bench inside the harness budget.
+    model_i8, _, _, _ = _flagship((h, w), quant="int8_full")
     infer_i8 = build_infer_step(
         model_i8, anchors, counts, img_norm=IMG_NORM, test_cfg=TEST_CFG
     )
@@ -137,7 +142,8 @@ def main():
                 value=round(ips, 1),
                 unit="img/s",
                 vs_baseline=round(ips / REFERENCE_GPU_IPS, 2),
-                int8_img_s=round(ips_i8, 1),
+                int8_full_img_s=round(ips_i8, 1),
+                int8_head_img_s=dict(value=1122.9, asof="2026-08-19 round 4"),
                 host_inclusive_img_s=round(ips_host, 1),
                 host_link_MBps=round(link_mbs, 1),
                 # training-side numbers from tools/profile_train.py on the
@@ -151,9 +157,12 @@ def main():
                     asof="2026-08-17 round 3",
                 ),
                 provenance=(
-                    "int8_img_s = same pipeline with the int8 head tower "
-                    "(configs/bop/r50_ycbv_pbr_int8.py, identical params; "
-                    "detection delta bounded in tests/test_int8_deploy.py). "
+                    "int8_full_img_s = same pipeline with the full-int8 "
+                    "deploy variant (configs/bop/r50_ycbv_pbr_int8_full.py: "
+                    "int8 head tower + int8 backbone trunk convs, identical "
+                    "params; deltas vs bf16 bounded in "
+                    "tests/test_int8_deploy.py). int8_head_img_s = the "
+                    "tighter-envelope head-only variant, static snapshot. "
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
                     "host_inclusive_img_s includes per-batch host->device transfer "

@@ -1,0 +1,35 @@
+# Full-int8 deploy variant of the YCB-V flagship: head tower AND backbone.
+#
+# On top of the head-tower quantization (r50_ycbv_pbr_int8.py), the
+# backbone's conv2/conv3 trunk convs run int8 with static per-channel
+# activation scales derived from the frozen-BN affine
+# (models/resnet.py::_bn_act_scale, ops/quant.py).  The residual-stream
+# convs (conv1/downsample) stay bf16 — their input range accumulates
+# across blocks via the identity adds and has no static per-channel bound.
+#
+# Why: the backbone's early stages are HBM-bound (docs/DESIGN.md 9), so
+# int8 halves the activation bytes on both the producer write (quantize
+# fused into the BN+ReLU epilogue) and the consumer read.
+#
+# Accuracy envelope: the trunk quantization adds noise of the same order
+# as bf16 rounding itself (~1.6x, pinned per-level by
+# tests/test_int8_deploy.py on the calibrated-stats parity fixture).  On a
+# well-conditioned trained checkpoint the detection delta is accordingly
+# small, but it is LESS tightly bounded than the head-only variant — run
+# tools/compare_ap.py against the bf16 config on your validation split
+# before deploying (docs/PARITY_RUNBOOK.md), and fall back to
+# r50_ycbv_pbr_int8.py if the AP delta matters.
+#
+# Param tree is identical to the bf16 model (deploy-time switch).
+# Incompatible with --fuse-conv-bn (folding erases the BN affine the
+# static scales derive from; tools/test.py fails fast).
+_base_ = ["./r50_ycbv_pbr.py"]
+
+model = dict(
+    backbone=dict(
+        quant="int8",
+    ),
+    bbox_head=dict(
+        quant="int8",
+    ),
+)

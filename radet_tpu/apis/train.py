@@ -73,6 +73,14 @@ def train_detector(
     except Exception as e:  # noqa: BLE001 - non-fatal
         logger.warning(f"config dump failed: {e}")
 
+    # int8 is a deploy-time switch: the quantizing round() has zero gradient,
+    # so training a quant config would silently freeze the quantized convs
+    assert not cfg.model.get("bbox_head", {}).get("quant") and not cfg.model.get(
+        "backbone", {}
+    ).get("quant"), (
+        "model.*.quant='int8' is a deploy-time option (ops/quant.py) — train "
+        "the bf16 config (e.g. r50_ycbv_pbr.py) and flip quant at test time"
+    )
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     input_size = tuple(cfg.get("input_size", (480, 640)))
     variables = init_variables(model, input_size, seed)

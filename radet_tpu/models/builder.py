@@ -49,6 +49,23 @@ def head_spec_from_cfg(head: Dict[str, Any]) -> Dict[str, Any]:
     )
 
 
+def _backbone_quant(backbone: Dict[str, Any], btype: str):
+    """Deploy-time int8 trunk switch (backbone.quant = 'int8').
+
+    Wired for the plain ResNet/ResNeXt Bottleneck/BasicBlock trunk — the
+    flagship deploy path (resnet.ResNet.quant, ops/quant.py).
+    """
+    q = backbone.get("quant", None)
+    if q is None:
+        return None
+    assert q == "int8", f"backbone.quant: unsupported {q!r} (None | 'int8')"
+    assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), (
+        f"backbone.quant='int8' is implemented for the ResNet/ResNeXt "
+        f"trunk, not {btype}"
+    )
+    return q
+
+
 def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     cfg = dict(model_cfg)
     det_type = cfg.get("type", "RADet")
@@ -127,6 +144,7 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         backbone_type=backbone_type,
         backbone_opts=backbone_opts,
         with_cp=backbone.get("with_cp", False),
+        backbone_quant=_backbone_quant(backbone, btype),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),

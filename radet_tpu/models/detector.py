@@ -54,6 +54,8 @@ class RADet(nn.Module):
     backbone_type: str = ""
     backbone_opts: Any = ()
     with_cp: bool = False  # per-block gradient checkpointing (remat)
+    # deploy-time int8 trunk convs (resnet.ResNet.quant; eval only)
+    backbone_quant: Optional[str] = None
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -112,6 +114,7 @@ class RADet(nn.Module):
             reduction_factor=self.reduction_factor,
             avg_down_stride=self.avg_down_stride,
             with_cp=self.with_cp,
+            quant=self.backbone_quant,
             dtype=self.dtype,
             name="backbone",
         )

@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..ops.quant import Int8Conv, affine_act_scale, quantize_int8
+
 Dtype = Any
 
 
@@ -30,90 +32,34 @@ def _bias_init_with_prob(p: float) -> float:
     return float(-np.log((1 - p) / p))
 
 
-class _Int8Conv(nn.Module):
-    """Dynamically-quantized 3x3 conv for the MXU's int8 path.
-
-    v5e multiplies int8 at 2x the bf16 rate (394 vs 197 TOPS peak); the
-    tower convs run at 97% of bf16 MXU peak (measured, tools/profile_infer),
-    so int8 is the only remaining speedup for this compute-bound block.
-    Measured on chip: 1.6-2.0x per conv vs bf16 at the tower shape.
-
-    Quantization recipe (standard PTQ-dynamic, with a zero-cost static-scale
-    fast path between tower blocks):
-      - weights: symmetric per-OUTPUT-CHANNEL absmax int8 (computed from the
-        live f32 kernel at trace time — no converted checkpoint or
-        calibration pass needed; XLA constant-folds it after freezing),
-      - activations: symmetric per-TENSOR int8.  The scale is dynamic
-        (absmax reduce) only for the tower's FIRST conv, whose input is the
-        unbounded FPN feature; every later block receives an ALREADY
-        QUANTIZED int8 tensor + scale from the preceding ConvGNBlock, whose
-        GN params bound the activation range statically (see there).
-        Measured on chip (tools/profile_infer.py --quant int8, batch 128):
-        the original per-conv dynamic recipe ran every conv at 379 TFLOP/s —
-        2.0x the 191 TFLOP/s bf16 peak — but its per-conv absmax reduce +
-        standalone quantize passes cost ~1.5 ms each, eating ~12 of the
-        ~15 ms the MXU saved.  The static-scale path removes those passes
-        and halves the inter-block HBM tensor bytes,
-      - accumulation in int32 on the MXU, dequant folded into the following
-        GroupNorm's f32 cast.
-
-    The param tree is IDENTICAL to the unquantized ``nn.Conv(name='conv')``
-    (a single ``kernel``), so trained/converted checkpoints load unchanged
-    and the flag can be flipped at deploy time.
-    """
-
-    feat_channels: int
-    # storage dtype of the dequantized output: bf16 halves the bytes the
-    # following GroupNorm's two passes read (GN still reduces in f32)
-    out_dtype: Dtype = jnp.bfloat16
-
-    @nn.compact
-    def __call__(self, x, x_scale=None):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.normal(0.01),
-            (3, 3, x.shape[-1], self.feat_channels),
-            jnp.float32,
-        )
-        s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0  # (Cout,)
-        s_w = jnp.maximum(s_w, 1e-12)
-        w_q = jnp.clip(jnp.round(kernel / s_w), -127, 127).astype(jnp.int8)
-        if x.dtype == jnp.int8:
-            # pre-quantized by the previous ConvGNBlock (static GN bound)
-            assert x_scale is not None
-            x_q, s_x = x, x_scale
-        else:
-            x_f = x.astype(jnp.float32)
-            s_x = x_scale if x_scale is not None else jnp.max(jnp.abs(x_f)) / 127.0
-            s_x = jnp.maximum(s_x, 1e-12)
-            x_q = jnp.clip(jnp.round(x_f / s_x), -127, 127).astype(jnp.int8)
-        dn = jax.lax.conv_dimension_numbers(
-            x_q.shape, w_q.shape, ("NHWC", "HWIO", "NHWC")
-        )
-        y = jax.lax.conv_general_dilated(
-            x_q,
-            w_q,
-            (1, 1),
-            ((1, 1), (1, 1)),
-            dimension_numbers=dn,
-            preferred_element_type=jnp.int32,
-        )
-        return (y.astype(jnp.float32) * (s_x * s_w)).astype(self.out_dtype)
+# Deploy-time int8 tower conv (shared PTQ primitives in ops/quant.py):
+# per-output-channel weight quant from the live f32 kernel, per-tensor
+# activation quant (dynamic absmax only for the tower's FIRST conv, whose
+# FPN input is unbounded; later blocks receive a pre-quantized int8 tensor
+# with a static GN-derived scale — see ConvGNBlock), int32 MXU accumulation.
+# Measured on chip (tools/profile_infer.py --quant int8, batch 128): the
+# int8 MXU path runs the tower convs at 379 TFLOP/s, 2.0x the 191 TFLOP/s
+# bf16 peak; the original per-conv dynamic recipe's absmax+quantize passes
+# cost ~1.5 ms each, which the static inter-block path removes.  Param tree
+# is identical to nn.Conv(name='conv'), so checkpoints load unchanged.
+_Int8Conv = Int8Conv
 
 
 class ConvGNBlock(nn.Module):
     """3x3 conv (bf16 or int8) + GroupNorm(32) + ReLU.
 
     int8 inter-block contract: with ``emit_int8=True`` the block returns
-    ``(y_int8, scale)`` instead of a float tensor — the ReLU'd GN output
-    quantized with the STATIC per-tensor bound
-    ``max_c(k*|gamma_c| + |beta_c|) / 127``:  GN standardizes each group to
-    unit variance, so post-GN activations are bounded by ``k`` standard
-    deviations (k=8; a >8-sigma value in a ~10^8-element tensor is
-    vanishingly rare, and symmetric clipping of such outliers is standard
-    clip-calibration PTQ).  The bound depends only on the GN params, so XLA
-    constant-folds the scale — the quantize fuses into the GN epilogue and
-    the inter-block tensor is written once, as int8.
+    ``(y_int8, scales)`` instead of a float tensor — the ReLU'd GN output
+    quantized with STATIC PER-CHANNEL bounds ``(k*|gamma_c| + |beta_c|)/127``
+    (ops/quant.py::affine_act_scale): GN standardizes each group to unit
+    variance, so post-GN activations are bounded by ``k`` standard
+    deviations of the affine (k=8; a >8-sigma value in a ~10^8-element
+    tensor is vanishingly rare, and symmetric clipping of such outliers is
+    standard clip-calibration PTQ).  The bounds depend only on the GN
+    params, so XLA constant-folds them — the quantize fuses into the GN
+    epilogue, the inter-block tensor is written once as int8, and the
+    consuming Int8Conv folds the per-channel scales into its constant
+    weights (see ops/quant.py).
     """
 
     feat_channels: int
@@ -145,9 +91,8 @@ class ConvGNBlock(nn.Module):
             return y.astype(self.dtype)
         gamma = gn.variables["params"]["scale"]
         beta = gn.variables["params"]["bias"]
-        bound = jnp.max(self.act_bound_sigma * jnp.abs(gamma) + jnp.abs(beta))
-        s = jnp.maximum(bound, 1e-6) / 127.0
-        y_q = jnp.clip(jnp.round(y / s), -127, 127).astype(jnp.int8)
+        s = affine_act_scale(gamma, beta, self.act_bound_sigma)
+        y_q = quantize_int8(y, s)
         return y_q, s
 
 

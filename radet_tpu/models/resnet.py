@@ -20,11 +20,13 @@ convs onto the MXU directly, no channel-split loop needed).
 
 from __future__ import annotations
 
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ..ops.quant import Int8Conv, affine_act_scale, quantize_int8
 
 # layer counts per depth
 ARCH = {
@@ -165,6 +167,44 @@ class StemConvS2D(nn.Module):
         )
 
 
+def _bn_act_scale(bn: FrozenAwareBN, k: float = 4.0):
+    """Static per-channel int8 activation scales for a post-BN+ReLU tensor.
+
+    k=4 measured best on the calibrated-stats parity fixture (k-sweep of the
+    C2..C5 relative feature error vs f32: k=4 -> 2.6%..15.8%, k=6 ->
+    3.7%..21%, k=8 -> 4.8%..25%): the absmax of ~5M standardized samples is
+    ~4.7 sigma, so k=4 clips almost nothing while halving the quantization
+    step vs k=8.  For context, the production bf16 trunk's own rounding
+    noise on the same fixture is 1.8%..9.6% — int8(k=4) adds ~1.6x bf16's
+    noise (tests/test_int8_deploy.py pins the ratio).
+
+    FrozenAwareBN standardizes with RUNNING statistics (constants here), so
+    on-distribution its pre-affine value is ~unit-variance per channel and
+    the per-channel k-sigma affine bound of ops/quant.py::affine_act_scale
+    applies — the same derivation as the head tower's GN bound, with BN's
+    fitted running stats standing in for GN's exact runtime standardization.
+    Depends only on params, so XLA constant-folds the scales, the quantize
+    fuses into the BN+ReLU epilogue (the inter-conv tensor is written once,
+    int8), and the consuming Int8Conv folds the scales into its weights.
+    """
+    p = bn.variables["params"]["BatchNorm_0"]
+    return affine_act_scale(p["scale"], p["bias"], k)
+
+
+def _q8_conv(features, kernel, stride, name, groups=1):
+    """Int8Conv matching _conv's param tree/init (see ops/quant.py)."""
+    pad = (kernel - 1) // 2
+    return Int8Conv(
+        features,
+        kernel_size=(kernel, kernel),
+        strides=(stride, stride),
+        padding=((pad, pad), (pad, pad)),
+        feature_group_count=groups,
+        kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        name=name,
+    )
+
+
 class Bottleneck(nn.Module):
     planes: int  # bottleneck width; output channels = planes * 4
     stride: int = 1
@@ -175,20 +215,41 @@ class Bottleneck(nn.Module):
     width: int = 0  # mid channels; 0 -> planes (plain ResNet)
     avg_down: bool = False  # V1d: AvgPool + stride-1 1x1 downsample
     expansion: int = 4  # output channels = planes * expansion (RegNet uses 1)
+    # deploy-time int8 (eval only; param tree unchanged — ops/quant.py).
+    # Quantizes conv2/conv3, whose inputs are single-consumer post-BN+ReLU
+    # tensors with a static _bn_act_scale bound; conv1/downsample read the
+    # residual stream (bound accumulates across blocks via the identity
+    # adds) and stay bf16.  These stages are HBM-bound (docs/DESIGN.md 9),
+    # so the win is halved activation bytes, not MXU rate.
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        q8 = self.quant == "int8" and not train
         identity = x
         width = self.width or self.planes
         out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
-        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
-        out = nn.relu(out)
+        bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
+        out = nn.relu(bn1(out, train))
         # 'pytorch' style: stride lives on the 3x3 conv
-        out = _conv(width, 3, self.stride, name="conv2", dtype=self.dtype,
-                    groups=self.groups)(out)
-        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
-        out = nn.relu(out)
-        out = _conv(self.planes * self.expansion, 1, 1, name="conv3", dtype=self.dtype)(out)
+        if q8:
+            s1 = _bn_act_scale(bn1)
+            out = _q8_conv(width, 3, self.stride, "conv2", self.groups)(
+                quantize_int8(out, s1), s1
+            )
+        else:
+            out = _conv(width, 3, self.stride, name="conv2", dtype=self.dtype,
+                        groups=self.groups)(out)
+        bn2 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")
+        out = nn.relu(bn2(out, train))
+        if q8:
+            s2 = _bn_act_scale(bn2)
+            out = _q8_conv(self.planes * self.expansion, 1, 1, "conv3")(
+                quantize_int8(out, s2), s2
+            )
+        else:
+            out = _conv(self.planes * self.expansion, 1, 1, name="conv3",
+                        dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
         if self.has_downsample:
             ds_in = _avg_down(x, self.stride) if self.avg_down else x
@@ -369,14 +430,19 @@ class BasicBlock(nn.Module):
     groups: int = 1  # unused (parity with Bottleneck signature)
     width: int = 0
     avg_down: bool = False
+    quant: Optional[str] = None  # deploy-time int8 conv2 (see Bottleneck)
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
         out = _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
-        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(out, train)
-        out = nn.relu(out)
-        out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
+        bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
+        out = nn.relu(bn1(out, train))
+        if self.quant == "int8" and not train:
+            s1 = _bn_act_scale(bn1)
+            out = _q8_conv(self.planes, 3, 1, "conv2")(quantize_int8(out, s1), s1)
+        else:
+            out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
         if self.has_downsample:
             ds_in = _avg_down(x, self.stride) if self.avg_down else x
@@ -514,9 +580,21 @@ class ResNet(nn.Module):
     # cp.checkpoint): rematerialize block activations in backward — the
     # HBM-for-FLOPs lever for larger batches/inputs
     with_cp: bool = False
+    # deploy-time int8 for the HBM-bound trunk convs (eval only, param tree
+    # unchanged): conv2/conv3 of every block run int8 with static
+    # frozen-BN-derived activation scales (see Bottleneck.quant /
+    # ops/quant.py); the residual-stream convs stay bf16
+    quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if self.quant is not None:
+            assert self.quant == "int8", f"ResNet.quant: {self.quant!r}"
+            assert self.scales == 1 and self.radix == 0, (
+                "int8 trunk quantization is implemented for the plain/"
+                "ResNeXt Bottleneck and BasicBlock (the flagship deploy "
+                "path); Res2Net/ResNeSt blocks are not wired"
+            )
         block_kind, stage_blocks = ARCH[self.depth]
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
         expansion = 4 if block_kind == "bottleneck" else 1
@@ -581,7 +659,7 @@ class ResNet(nn.Module):
                 else:
                     x = remat(block_cls)(
                         groups=self.groups, width=width, avg_down=self.avg_down,
-                        **common,
+                        quant=self.quant, **common,
                     )(x, train)
                 channels = planes * expansion
             if self.frozen_stages >= stage_idx + 1 and train:

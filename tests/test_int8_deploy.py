@@ -154,3 +154,114 @@ def test_int8_config_builds_quantized_model():
     assert base.model.to_dict()["bbox_head"].keys() | {"quant"} == set(
         cfg.model.to_dict()["bbox_head"].keys()
     ) | {"quant"}
+    # the _full variant additionally quantizes the backbone trunk
+    cfg_f = Config.fromfile("configs/bop/r50_ycbv_pbr_int8_full.py")
+    model_f = build_detector(cfg_f.model.to_dict(), dtype="bfloat16")
+    assert model_f.head_quant == "int8" and model_f.backbone_quant == "int8"
+
+
+# ---------------------------------------------------------------------------
+# Backbone trunk int8 (r50_ycbv_pbr_int8_full.py): conv2/conv3 of every
+# block run int8 with static per-channel frozen-BN-derived activation
+# scales (models/resnet.py::_bn_act_scale, ops/quant.py).
+#
+# The parity fixture's randomized weights form a CHAOTIC network — any
+# rounding noise roughly doubles per stage (measured: the production bf16
+# trunk itself deviates from f32 by 1.8% at C2 growing to 9.6% at C5, and
+# its detections only match f32 at ~0.8 @ IoU0.8).  Absolute bounds are
+# therefore meaningless here; what IS stable and meaningful is the RATIO of
+# int8's noise to bf16's own rounding noise on the same fixture (measured
+# 1.5-1.7x per level), plus a detection-level sanity vs the bf16 deploy
+# baseline at IoU 0.5.  On a trained (well-conditioned) checkpoint both
+# collapse together; docs/PARITY_RUNBOOK.md + tools/compare_ap.py measure
+# the real AP delta where data exists.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def calibrated_trunk():
+    """Torch RADet with BN running stats CALIBRATED on the test imagery —
+    the on-distribution stats a genuinely pretrained checkpoint has, which
+    the static k-sigma activation bound assumes."""
+    import flax
+
+    from convert_torch_weights import convert_mmdet_detector
+
+    torch.manual_seed(7)
+    rng = np.random.RandomState(7)
+    tmodel = TorchRADet()
+    _randomize(tmodel, rng)
+    images = rng.randint(0, 255, (2, IMG_H, IMG_W, 3)).astype(np.uint8)
+    tmodel.backbone.train()
+    with torch.no_grad():
+        x = torch.tensor(images.transpose(0, 3, 1, 2).astype(np.float32))
+        for _ in range(30):
+            tmodel.backbone(x)
+    tmodel.eval()
+    sd = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    flat = {}
+    convert_mmdet_detector(sd, flat)
+    return flax.traverse_util.unflatten_dict(flat), images
+
+
+def test_trunk_int8_noise_within_bf16_envelope(calibrated_trunk):
+    """Per level C2..C5, the int8 trunk's deviation from the f32 reference
+    is at most 2.2x the production bf16 trunk's own rounding deviation
+    (measured ratios 1.5-1.7; the bound leaves margin, and a regression to
+    per-TENSOR scales or a loosened k would break it: per-tensor k=8
+    measured 2.7-3.7x)."""
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import ResNet
+
+    variables, images = calibrated_trunk
+    bvars = {c: variables[c]["backbone"] for c in variables if "backbone" in variables[c]}
+    xin = jnp.asarray(images, jnp.float32)
+    of = ResNet(depth=50).apply(bvars, xin, train=False)
+    obf = ResNet(depth=50, dtype=jnp.bfloat16).apply(bvars, xin, train=False)
+    oq = ResNet(depth=50, quant="int8").apply(bvars, xin, train=False)
+    for lvl, (a, b16, b8) in enumerate(zip(of, obf, oq)):
+        a = np.asarray(a, np.float64)
+        scale = np.abs(a).mean() + 1e-9
+        rel16 = np.abs(a - np.asarray(b16, np.float64)).mean() / scale
+        rel8 = np.abs(a - np.asarray(b8, np.float64)).mean() / scale
+        assert rel8 <= 2.2 * rel16, (lvl, rel8, rel16, rel8 / rel16)
+
+
+def test_trunk_int8_detection_delta_vs_bf16(calibrated_trunk):
+    """Full-int8 detections vs the bf16 deploy baseline on the calibrated
+    fixture: >=75% same-label matches at IoU>=0.5 with |dScore| <= 0.08
+    (measured 0.82-0.83 / 0.042; see the envelope note above for why the
+    chaotic fixture cannot support the head-only test's 0.9 @ IoU0.8)."""
+    import jax
+
+    from radet_tpu.core.anchors import generate_anchors
+    from radet_tpu.engine.train_step import build_infer_step
+    from radet_tpu.models import build_detector
+
+    variables, images = calibrated_trunk
+    anchors, _, _, counts = generate_anchors((IMG_H, IMG_W))
+    shapes = np.asarray([[IMG_H, IMG_W]] * 2, np.float32)
+    scales = np.ones((2, 4), np.float32)
+
+    dets = {}
+    for key, quant in (("bf16", None), ("int8", "int8")):
+        cfg = _model_cfg(quant)
+        cfg["backbone"]["quant"] = quant
+        model = build_detector(cfg, dtype="bfloat16")
+        infer = build_infer_step(
+            model, anchors, counts, img_norm=IMG_NORM, test_cfg=TEST_CFG
+        )
+        dets[key] = jax.device_get(infer(variables, images, shapes, scales))
+
+    for img in range(2):
+        fb, fs, fl = _valid_rows(dets["bf16"], img)
+        ib, is_, il = _valid_rows(dets["int8"], img)
+        assert len(fb) >= 50, "degenerate fixture"
+        cand = np.where(fl[:, None] == il[None, :], _iou_matrix(fb, ib), 0.0)
+        best = cand.argmax(axis=1)
+        best_iou = cand[np.arange(len(fb)), best]
+        matched = best_iou >= 0.5
+        assert matched.mean() >= 0.75, (img, matched.mean())
+        dscore = np.abs(fs[matched] - is_[best[matched]])
+        assert dscore.max() <= 0.08, (img, float(dscore.max()))

@@ -89,6 +89,12 @@ def main():
     else:
         logger.warning("no checkpoint given — using random weights")
     if args.fuse_conv_bn:
+        mc = cfg.get("model", {})
+        assert not mc.get("backbone", {}).get("quant"), (
+            "--fuse-conv-bn is incompatible with backbone.quant='int8': the "
+            "int8 trunk derives static activation scales from the frozen BN "
+            "affine params, which folding erases (resnet._bn_act_scale)"
+        )
         from radet_tpu.models.fuse import fuse_conv_bn
 
         variables, report = fuse_conv_bn(variables)
