@@ -144,13 +144,31 @@ def anchor_head_spec(cfg) -> Dict[str, Any]:
             "ignore_iof_thr > 0 (crowd-ignore regions) is not implemented — "
             "no reference BOP config sets it"
         )
-        sampler = dict(train_cfg.get("sampler", {"type": "PseudoSampler"}))
-        assert sampler.get("type", "PseudoSampler") == "PseudoSampler", (
-            f"only PseudoSampler is implemented (the sampler zoo beyond it "
-            f"is reachable only from two-stage heads absent from the "
-            f"reference; docs/PARITY.md), got {sampler!r}"
-        )
         cls_type = lcls.get("type", "FocalLoss")
+        sampler = dict(train_cfg.get("sampler", {"type": "PseudoSampler"}))
+        stype = sampler.get("type", "PseudoSampler")
+        sampling = cls_type not in ("FocalLoss", "GHMC", "QualityFocalLoss")
+        if not sampling:
+            # mmdet anchor_head.py:62-70: under a focal-family loss the head
+            # hard-codes PseudoSampler and IGNORES train_cfg.sampler
+            stype = "PseudoSampler"
+        assert stype in ("PseudoSampler", "RandomSampler"), (
+            f"sampler {stype!r}: PseudoSampler and RandomSampler are "
+            f"implemented (the RPN-style reachable surface); OHEM/"
+            f"IoUBalanced/InstanceBalanced/ScoreHLR/Combined need a "
+            f"two-stage RoI context absent from the reference "
+            f"(docs/PARITY.md)"
+        )
+        if stype == "RandomSampler":
+            assert not sampler.get("add_gt_as_proposals", False), (
+                "add_gt_as_proposals injects GT boxes into an RoI proposal "
+                "list — meaningless for a dense anchor head"
+            )
+            loss_kwargs.update(
+                sampler_num=int(sampler.get("num", 256)),
+                sampler_pos_fraction=float(sampler.get("pos_fraction", 0.5)),
+                sampler_neg_pos_ub=float(sampler.get("neg_pos_ub", -1)),
+            )
         loss_kwargs.update(
             pos_iou_thr=float(assigner.get("pos_iou_thr", 0.5)),
             neg_iou_thr=(

@@ -170,8 +170,8 @@ def build_train_step_anchor(
     ``spec`` is apis.common.anchor_head_spec(cfg): head_type, coder
     encode/decode closures, assigner kwargs, loss kwargs, optional anchor
     valid mask.  Same jit/donation structure as the RADet step; assignment
-    is deterministic (IoU-based), so the rng arg is accepted for interface
-    parity and unused.
+    is deterministic (IoU-based) — the rng key feeds only the optional
+    RandomSampler (loss_kwargs['sampler_num'] > 0).
     """
     from ..models.anchor_heads import flatten_anchor_outputs
     from ..models.anchor_loss import anchor_head_loss, atss_loss
@@ -185,7 +185,7 @@ def build_train_step_anchor(
     std = tuple(img_norm["std"])
     dtype = model.dtype
 
-    def loss_fn(params, batch_stats, batch):
+    def loss_fn(params, batch_stats, batch, rng_key):
         x = preprocess_images(batch["image"], mean, std, dtype)
         outs, mutated = model.apply(
             {"params": params, "batch_stats": batch_stats},
@@ -229,6 +229,7 @@ def build_train_step_anchor(
                 encode_fn=spec["encode_fn"],
                 decode_fn=spec["decode_fn"],
                 valid_mask=valid_j,
+                rng=rng_key,
                 **spec["loss_kwargs"],
             )
         total = sum(v for k, v in losses.items() if k.startswith("loss_"))
@@ -236,10 +237,9 @@ def build_train_step_anchor(
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng_key):
-        del rng_key  # IoU-based assignment is deterministic
         (total, (losses, new_batch_stats)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, batch)
+        )(state.params, state.batch_stats, batch, rng_key)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         metrics = dict(losses)

@@ -170,6 +170,45 @@ def atss_loss(
     )
 
 
+def random_sample_masks(key, pos, neg, *, num, pos_fraction, neg_pos_ub=-1.0):
+    """mmdet RandomSampler as static-shape masks, one image.
+
+    Reference semantics (core/bbox/samplers/base_sampler.py:59-103 +
+    random_sampler.py:41-78): sample up to ``int(num*pos_fraction)``
+    positives uniformly without replacement, then up to
+    ``num - num_sampled_pos`` negatives (capped at ``neg_pos_ub *
+    max(num_sampled_pos, 1)`` when ``neg_pos_ub >= 0``).
+
+    TPU form: uniform-without-replacement subsampling of a masked set ==
+    rank the set's members by an i.i.d. uniform key and keep ranks below
+    the quota.  Ranks come from one argsort over the anchor axis (the XLA
+    sort is bandwidth-efficient at N~2e4); the quota for negatives is a
+    traced scalar, so the whole thing stays one fused masked pass — no
+    dynamic shapes, no host round trip.
+    """
+    n = pos.shape[-1]
+    kp, kn = jax.random.split(key)
+
+    def ranks_within(mask, k):
+        u = jax.random.uniform(k, (n,))
+        order = jnp.argsort(-jnp.where(mask, u, -jnp.inf))  # members first
+        return jnp.zeros((n,), jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32)
+        )
+
+    num_expected_pos = int(num * pos_fraction)
+    pos_s = pos & (ranks_within(pos, kp) < num_expected_pos)
+    num_sampled_pos = pos_s.sum()
+    num_expected_neg = num - num_sampled_pos
+    if neg_pos_ub >= 0:
+        neg_cap = (neg_pos_ub * jnp.maximum(num_sampled_pos, 1)).astype(
+            num_expected_neg.dtype
+        )
+        num_expected_neg = jnp.minimum(num_expected_neg, neg_cap)
+    neg_s = neg & (ranks_within(neg, kn) < num_expected_neg)
+    return pos_s, neg_s
+
+
 def anchor_head_loss(
     cls_flat,  # (B, N, C) logits
     reg_flat,  # (B, N, 4) encoded deltas
@@ -196,12 +235,22 @@ def anchor_head_loss(
     reg_decoded_bbox: bool = False,
     pos_weight: float = -1.0,
     valid_mask=None,
+    # RandomSampler (train_cfg.sampler; 0 = PseudoSampler, i.e. keep all).
+    # mmdet only samples when ``sampling`` is True (non-focal loss_cls,
+    # anchor_head.py:62-70) — enforced by apis.common.anchor_head_spec.
+    sampler_num: int = 0,
+    sampler_pos_fraction: float = 0.5,
+    sampler_neg_pos_ub: float = -1.0,
+    rng=None,  # PRNGKey, required when sampler_num > 0
 ) -> Dict[str, jnp.ndarray]:
-    """Dense AnchorHead loss (MaxIoU assignment + PseudoSampler semantics).
+    """Dense AnchorHead loss (MaxIoU assignment + Pseudo/Random sampler).
 
     ``sampling`` (anchor_head.py:62-64) is False for FocalLoss —
     ``num_total_samples`` is then the positive count; for sigmoid-CE it is
-    pos+neg (both as sum_i max(count_i, 1), :354-355,466-467).
+    pos+neg (both as sum_i max(count_i, 1), :354-355,466-467).  With a
+    RandomSampler, pos/neg weighting and all counts come from the SAMPLED
+    sets (unsampled assigned anchors keep their targets but carry zero
+    weight — numerically identical to mmdet's index-gathered form).
     """
     b, n, c = cls_flat.shape
 
@@ -226,6 +275,22 @@ def anchor_head_loss(
         pos = pos & valid_mask[None]
         neg = neg & valid_mask[None]
 
+    sampling = cls_loss not in ("FocalLoss", "GHMC", "QualityFocalLoss")
+    if sampler_num > 0:
+        assert sampling, (
+            "RandomSampler is only active for sampling losses (mmdet "
+            "anchor_head.py:62-70 ignores train_cfg.sampler under FocalLoss)"
+        )
+        assert rng is not None, "RandomSampler needs the step rng key"
+        pos, neg = jax.vmap(
+            lambda k, p, ng: random_sample_masks(
+                k, p, ng,
+                num=sampler_num,
+                pos_fraction=sampler_pos_fraction,
+                neg_pos_ub=sampler_neg_pos_ub,
+            )
+        )(jax.random.split(rng, b), pos, neg)
+
     pw = 1.0 if pos_weight <= 0 else float(pos_weight)
     label_weights = jnp.where(pos, pw, jnp.where(neg, 1.0, 0.0))
 
@@ -233,7 +298,6 @@ def anchor_head_loss(
     num_neg_img = neg.sum(axis=1)
     num_total_pos = jnp.maximum(num_pos_img, 1).sum().astype(jnp.float32)
     num_total_neg = jnp.maximum(num_neg_img, 1).sum().astype(jnp.float32)
-    sampling = cls_loss not in ("FocalLoss", "GHMC", "QualityFocalLoss")
     num_total_samples = num_total_pos + (num_total_neg if sampling else 0.0)
     num_total_samples = jnp.maximum(num_total_samples, 1.0)
 

@@ -219,3 +219,39 @@ def test_retina_anchorhead_trains(tmp_path_factory, bop_root):
     )
     assert len(results) == 4
     assert "bbox_mAP" in metrics
+
+
+RPN_STYLE_HEAD = """dict(
+        type="AnchorHead",
+        num_classes=1,
+        in_channels=32,
+        anchor_generator=dict(
+            type="AnchorGenerator", ratios=[0.5, 1.0, 2.0], scales=[8],
+            strides=[8, 16, 32, 64, 128],
+        ),
+        bbox_coder=dict(type="DeltaXYWHBBoxCoder"),
+        loss_cls=dict(type="CrossEntropyLoss", use_sigmoid=True,
+                      loss_weight=1.0),
+        loss_bbox=dict(type="L1Loss", loss_weight=1.0),
+    )"""
+RPN_STYLE_TRAIN_CFG = """dict(
+    assigner=dict(type="MaxIoUAssigner", pos_iou_thr=0.7, neg_iou_thr=0.3,
+                  min_pos_iou=0.3, ignore_iof_thr=-1),
+    sampler=dict(type="RandomSampler", num=256, pos_fraction=0.5,
+                 neg_pos_ub=-1, add_gt_as_proposals=False),
+    allowed_border=-1, pos_weight=-1,
+)"""
+
+
+def test_rpn_style_random_sampler_trains(tmp_path_factory, bop_root):
+    """The mmdet RPN recipe — sigmoid-CE AnchorHead + RandomSampler(256,
+    0.5) — exercised end-to-end through the config surface: the sampler
+    masks are drawn per step inside the jitted loss (anchor_loss.py::
+    random_sample_masks) and training still learns."""
+    trained = _train(
+        tmp_path_factory, bop_root, RPN_STYLE_HEAD, RPN_STYLE_TRAIN_CFG,
+        "rpn_style",
+    )
+    assert int(trained.state.step) == 25
+    losses = _logged_losses(trained.records)
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses

@@ -286,3 +286,138 @@ def test_anchor_head_loss_gradients_finite():
     gc, gr = jax.grad(f, argnums=(0, 1))(jnp.asarray(cls), jnp.asarray(reg))
     assert np.isfinite(np.asarray(gc)).all()
     assert np.isfinite(np.asarray(gr)).all()
+
+
+# ------------------------------------------------------- RandomSampler
+
+
+def _random_sampler_oracle(rs, pos_idx, neg_idx, num, pos_fraction, neg_pos_ub):
+    """mmdet BaseSampler.sample + RandomSampler.random_choice COUNTING
+    semantics (base_sampler.py:59-103): the chosen indices are random, so
+    the oracle pins the exact set SIZES and the subset property."""
+    num_expected_pos = int(num * pos_fraction)
+    n_pos = min(len(pos_idx), num_expected_pos)
+    num_expected_neg = num - n_pos
+    if neg_pos_ub >= 0:
+        num_expected_neg = min(num_expected_neg, int(neg_pos_ub * max(1, n_pos)))
+    n_neg = min(len(neg_idx), num_expected_neg)
+    return n_pos, n_neg
+
+
+@pytest.mark.parametrize(
+    "num,pos_fraction,neg_pos_ub",
+    [(64, 0.5, -1.0), (8, 0.25, -1.0), (64, 0.5, 3.0), (256, 0.5, -1.0)],
+)
+def test_random_sample_masks_counts_and_subset(num, pos_fraction, neg_pos_ub):
+    from radet_tpu.models.anchor_loss import random_sample_masks
+
+    rs = np.random.RandomState(0)
+    n = 400
+    for seed in range(4):
+        pos = jnp.asarray(rs.rand(n) < 0.15)
+        neg = jnp.asarray(~np.asarray(pos) & (rs.rand(n) < 0.7))
+        pos_s, neg_s = random_sample_masks(
+            jax.random.PRNGKey(seed), pos, neg,
+            num=num, pos_fraction=pos_fraction, neg_pos_ub=neg_pos_ub,
+        )
+        assert not np.any(np.asarray(pos_s) & ~np.asarray(pos))
+        assert not np.any(np.asarray(neg_s) & ~np.asarray(neg))
+        e_pos, e_neg = _random_sampler_oracle(
+            rs, np.where(np.asarray(pos))[0], np.where(np.asarray(neg))[0],
+            num, pos_fraction, neg_pos_ub,
+        )
+        assert int(pos_s.sum()) == e_pos, (int(pos_s.sum()), e_pos)
+        assert int(neg_s.sum()) == e_neg, (int(neg_s.sum()), e_neg)
+
+
+def test_random_sampler_uniform_over_members():
+    """Every positive is selected with ~equal frequency (uniform without
+    replacement): 20 of 40 positives kept over 300 keys -> each ~50%."""
+    from radet_tpu.models.anchor_loss import random_sample_masks
+
+    rs = np.random.RandomState(1)
+    n = 200
+    pos = np.zeros(n, bool)
+    pos[rs.choice(n, 40, replace=False)] = True
+    neg = ~pos
+    counts = np.zeros(n)
+    trials = 300
+    for s in range(trials):
+        pos_s, _ = random_sample_masks(
+            jax.random.PRNGKey(s), jnp.asarray(pos), jnp.asarray(neg),
+            num=40, pos_fraction=0.5, neg_pos_ub=-1.0,
+        )
+        counts += np.asarray(pos_s)
+    freq = counts[pos] / trials
+    assert abs(freq.mean() - 0.5) < 0.01
+    # 3-sigma binomial band around 0.5
+    assert freq.min() > 0.5 - 3 * np.sqrt(0.25 / trials) - 0.02
+    assert freq.max() < 0.5 + 3 * np.sqrt(0.25 / trials) + 0.02
+
+
+def test_anchor_head_loss_big_sampler_equals_pseudo():
+    """Quotas larger than both sets keep everything -> BITWISE equal to the
+    PseudoSampler path (same targets, weights, and normalizers)."""
+    num_classes = 4
+    (anchors, counts, cls, reg, _, gts_list, labels_list,
+     gt_boxes, gt_labels, gt_valid) = _setup(7, num_classes)
+    enc, dec = build_bbox_coder(dict(type="DeltaXYWHBBoxCoder"))
+    kw = dict(
+        num_classes=num_classes, encode_fn=enc, decode_fn=dec,
+        cls_loss="CrossEntropyLoss",
+    )
+    base = anchor_head_loss(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+        **kw,
+    )
+    sampled = anchor_head_loss(
+        jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+        jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+        sampler_num=10**6, sampler_pos_fraction=1.0, sampler_neg_pos_ub=-1.0,
+        rng=jax.random.PRNGKey(0), **kw,
+    )
+    for k in base:
+        np.testing.assert_array_equal(np.asarray(base[k]), np.asarray(sampled[k]))
+
+
+def test_anchor_head_loss_rpn_style_sampler():
+    """RPN-style recipe (CE loss + RandomSampler(num=256, 0.5)): the loss is
+    finite, differentiates, and the positive count obeys the quota."""
+    num_classes = 1
+    (anchors, counts, cls, reg, _, gts_list, labels_list,
+     gt_boxes, gt_labels, gt_valid) = _setup(9, num_classes)
+    enc, dec = build_bbox_coder(dict(type="DeltaXYWHBBoxCoder"))
+
+    def f(c, r):
+        out = anchor_head_loss(
+            c, r, jnp.asarray(anchors), jnp.asarray(gt_boxes),
+            jnp.asarray(jnp.zeros_like(gt_labels)), jnp.asarray(gt_valid),
+            num_classes=num_classes, encode_fn=enc, decode_fn=dec,
+            cls_loss="CrossEntropyLoss",
+            sampler_num=256, sampler_pos_fraction=0.5, sampler_neg_pos_ub=-1.0,
+            rng=jax.random.PRNGKey(3),
+        )
+        return out["loss_cls"] + out["loss_bbox"], out
+
+    (total, out), (gc, gr) = jax.value_and_grad(f, argnums=(0, 1), has_aux=True)(
+        jnp.asarray(cls), jnp.asarray(reg)
+    )
+    assert np.isfinite(float(total))
+    assert np.isfinite(np.asarray(gc)).all() and np.isfinite(np.asarray(gr)).all()
+
+
+def test_sampler_rejected_under_focal_loss():
+    """mmdet ignores train_cfg.sampler under FocalLoss; passing one through
+    the loss directly is a programming error and must fail fast."""
+    num_classes = 4
+    (anchors, counts, cls, reg, _, gts_list, labels_list,
+     gt_boxes, gt_labels, gt_valid) = _setup(2, num_classes)
+    enc, dec = build_bbox_coder(dict(type="DeltaXYWHBBoxCoder"))
+    with pytest.raises(AssertionError, match="sampling losses"):
+        anchor_head_loss(
+            jnp.asarray(cls), jnp.asarray(reg), jnp.asarray(anchors),
+            jnp.asarray(gt_boxes), jnp.asarray(gt_labels), jnp.asarray(gt_valid),
+            num_classes=num_classes, encode_fn=enc, decode_fn=dec,
+            cls_loss="FocalLoss", sampler_num=256, rng=jax.random.PRNGKey(0),
+        )
