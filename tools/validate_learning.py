@@ -35,6 +35,15 @@ def main():
     p.add_argument("--num-classes", type=int, default=3)
     p.add_argument("--dtype", default="float32")
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument(
+        "--int8-eval", action="store_true",
+        help="after the base eval, re-evaluate the SAME trained weights "
+        "through the full-int8 deploy path (backbone+head quant='int8', "
+        "ops/quant.py) and report the mAP delta.  This is the "
+        "trained-network AP-delta measurement the random-weight parity "
+        "fixtures cannot provide: training here fits live BN stats, so the "
+        "static frozen-BN activation bounds hold by construction.",
+    )
     args = p.parse_args()
 
     if args.cpu:
@@ -123,6 +132,21 @@ def main():
     logger.info("final metrics: " + " ".join(f"{k}={v:.3f}" for k, v in metrics.items()))
     map50 = metrics["bbox_mAP_50"]
     print(f"RESULT mAP50={map50:.3f} mAP={metrics['bbox_mAP']:.3f}")
+    if args.int8_eval:
+        import copy
+
+        cfg_q = Config(copy.deepcopy(cfg_dict))
+        cfg_q.model["backbone"]["quant"] = "int8"
+        cfg_q.model["bbox_head"]["quant"] = "int8"
+        _, _, metrics_q = test_from_config(
+            cfg_q, variables, split="test", batch_size=args.batch
+        )
+        print(
+            f"RESULT int8 mAP50={metrics_q['bbox_mAP_50']:.3f} "
+            f"mAP={metrics_q['bbox_mAP']:.3f} "
+            f"(delta mAP50 {metrics_q['bbox_mAP_50'] - map50:+.3f}, "
+            f"mAP {metrics_q['bbox_mAP'] - metrics['bbox_mAP']:+.3f})"
+        )
     if map50 < args.min_map50:
         print(f"FAIL: mAP50 {map50:.3f} < {args.min_map50}")
         sys.exit(1)
