@@ -14,13 +14,16 @@
 # Accuracy envelope: the trunk quantization adds noise of the same order
 # as bf16 rounding itself (~1.6x, pinned per-level by
 # tests/test_int8_deploy.py on the calibrated-stats parity fixture).  On a
-# TRAINED network the delta vanishes: `tools/validate_learning.py
-# --int8-eval` (train to convergence on the synthetic BOP set, then eval
-# the same weights through this full-int8 path) measures mAP50
-# 1.000 -> 1.000, mAP 0.973 -> 0.972.  It is still LESS tightly bounded
-# than the head-only variant — run tools/compare_ap.py against the bf16
-# config on your real validation split before deploying
-# (docs/PARITY_RUNBOOK.md), and fall back to r50_ycbv_pbr_int8.py if the
+# TRAINED network it costs strict-IoU localization: `tools/
+# validate_learning.py --int8-eval` (train to convergence on a 64-image
+# synthetic BOP set at flagship scale, eval the same weights through each
+# variant) measures mAP50 -0.007 / mAP -0.054 for this full path (the
+# head-only part contributes -0.008 of that; conv2-only backbone.quant=
+# 'int8_conv2' sits between at mAP -0.037).  This variant trades ~0.05
+# strict-IoU mAP for +10% throughput over head-only — run
+# tools/compare_ap.py against the bf16 config on your real validation
+# split before deploying (docs/PARITY_RUNBOOK.md), and fall back to
+# r50_ycbv_pbr_int8.py (measured-free: mAP50 +0.000, mAP -0.008) if the
 # AP delta matters.
 #
 # Param tree is identical to the bf16 model (deploy-time switch).

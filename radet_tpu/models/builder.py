@@ -58,7 +58,9 @@ def _backbone_quant(backbone: Dict[str, Any], btype: str):
     q = backbone.get("quant", None)
     if q is None:
         return None
-    assert q == "int8", f"backbone.quant: unsupported {q!r} (None | 'int8')"
+    assert q in ("int8", "int8_conv2"), (
+        f"backbone.quant: unsupported {q!r} (None | 'int8' | 'int8_conv2')"
+    )
     assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), (
         f"backbone.quant='int8' is implemented for the ResNet/ResNeXt "
         f"trunk, not {btype}"

@@ -216,23 +216,27 @@ class Bottleneck(nn.Module):
     avg_down: bool = False  # V1d: AvgPool + stride-1 1x1 downsample
     expansion: int = 4  # output channels = planes * expansion (RegNet uses 1)
     # deploy-time int8 (eval only; param tree unchanged — ops/quant.py).
-    # Quantizes conv2/conv3, whose inputs are single-consumer post-BN+ReLU
-    # tensors with a static _bn_act_scale bound; conv1/downsample read the
-    # residual stream (bound accumulates across blocks via the identity
-    # adds) and stay bf16.  These stages are HBM-bound (docs/DESIGN.md 9),
-    # so the win is halved activation bytes, not MXU rate.
+    # 'int8' quantizes conv2+conv3; 'int8_conv2' only the 3x3 (keeps the
+    # 1x1 output projection bf16 — measured to cost strict-IoU mAP when
+    # quantized, tools/validate_learning.py --int8-eval).  Eligible convs
+    # have single-consumer post-BN+ReLU inputs with a static _bn_act_scale
+    # bound; conv1/downsample read the residual stream (bound accumulates
+    # across blocks via the identity adds) and stay bf16.  These stages are
+    # HBM-bound (docs/DESIGN.md 9), so the win is halved activation bytes,
+    # not MXU rate.
     quant: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        q8 = self.quant == "int8" and not train
+        q8_c2 = self.quant in ("int8", "int8_conv2") and not train
+        q8_c3 = self.quant == "int8" and not train
         identity = x
         width = self.width or self.planes
         out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
         out = nn.relu(bn1(out, train))
         # 'pytorch' style: stride lives on the 3x3 conv
-        if q8:
+        if q8_c2:
             s1 = _bn_act_scale(bn1)
             out = _q8_conv(width, 3, self.stride, "conv2", self.groups)(
                 quantize_int8(out, s1), s1
@@ -242,7 +246,7 @@ class Bottleneck(nn.Module):
                         groups=self.groups)(out)
         bn2 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")
         out = nn.relu(bn2(out, train))
-        if q8:
+        if q8_c3:
             s2 = _bn_act_scale(bn2)
             out = _q8_conv(self.planes * self.expansion, 1, 1, "conv3")(
                 quantize_int8(out, s2), s2
@@ -438,7 +442,7 @@ class BasicBlock(nn.Module):
         out = _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
         bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
         out = nn.relu(bn1(out, train))
-        if self.quant == "int8" and not train:
+        if self.quant in ("int8", "int8_conv2") and not train:
             s1 = _bn_act_scale(bn1)
             out = _q8_conv(self.planes, 3, 1, "conv2")(quantize_int8(out, s1), s1)
         else:
@@ -589,7 +593,9 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.quant is not None:
-            assert self.quant == "int8", f"ResNet.quant: {self.quant!r}"
+            assert self.quant in ("int8", "int8_conv2"), (
+                f"ResNet.quant: {self.quant!r}"
+            )
             assert self.scales == 1 and self.radix == 0, (
                 "int8 trunk quantization is implemented for the plain/"
                 "ResNeXt Bottleneck and BasicBlock (the flagship deploy "

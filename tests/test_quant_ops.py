@@ -86,12 +86,13 @@ def test_int8conv_approximates_float_conv(rng):
     assert rel < 0.02, rel
 
 
-def test_resnet_trunk_quant_param_tree_identical():
+@pytest.mark.parametrize("quant", ["int8", "int8_conv2"])
+def test_resnet_trunk_quant_param_tree_identical(quant):
     from radet_tpu.models.resnet import ResNet
 
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
     v = ResNet(depth=18).init(jax.random.PRNGKey(0), x, train=False)
-    vq = ResNet(depth=18, quant="int8").init(jax.random.PRNGKey(0), x, train=False)
+    vq = ResNet(depth=18, quant=quant).init(jax.random.PRNGKey(0), x, train=False)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
     assert jax.tree_util.tree_map(lambda a: a.shape, v) == jax.tree_util.tree_map(
         lambda a: a.shape, vq

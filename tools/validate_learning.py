@@ -135,18 +135,24 @@ def main():
     if args.int8_eval:
         import copy
 
-        cfg_q = Config(copy.deepcopy(cfg_dict))
-        cfg_q.model["backbone"]["quant"] = "int8"
-        cfg_q.model["bbox_head"]["quant"] = "int8"
-        _, _, metrics_q = test_from_config(
-            cfg_q, variables, split="test", batch_size=args.batch
-        )
-        print(
-            f"RESULT int8 mAP50={metrics_q['bbox_mAP_50']:.3f} "
-            f"mAP={metrics_q['bbox_mAP']:.3f} "
-            f"(delta mAP50 {metrics_q['bbox_mAP_50'] - map50:+.3f}, "
-            f"mAP {metrics_q['bbox_mAP'] - metrics['bbox_mAP']:+.3f})"
-        )
+        for tag, trunk in (
+            ("int8-head", None),
+            ("int8-conv2", "int8_conv2"),
+            ("int8-full", "int8"),
+        ):
+            cfg_q = Config(copy.deepcopy(cfg_dict))
+            cfg_q.model["bbox_head"]["quant"] = "int8"
+            if trunk:
+                cfg_q.model["backbone"]["quant"] = trunk
+            _, _, metrics_q = test_from_config(
+                cfg_q, variables, split="test", batch_size=args.batch
+            )
+            print(
+                f"RESULT {tag} mAP50={metrics_q['bbox_mAP_50']:.3f} "
+                f"mAP={metrics_q['bbox_mAP']:.3f} "
+                f"(delta mAP50 {metrics_q['bbox_mAP_50'] - map50:+.3f}, "
+                f"mAP {metrics_q['bbox_mAP'] - metrics['bbox_mAP']:+.3f})"
+            )
     if map50 < args.min_map50:
         print(f"FAIL: mAP50 {map50:.3f} < {args.min_map50}")
         sys.exit(1)
