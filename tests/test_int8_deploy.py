@@ -158,6 +158,12 @@ def test_int8_config_builds_quantized_model():
     cfg_f = Config.fromfile("configs/bop/r50_ycbv_pbr_int8_full.py")
     model_f = build_detector(cfg_f.model.to_dict(), dtype="bfloat16")
     assert model_f.head_quant == "int8" and model_f.backbone_quant == "int8"
+    # the _conv2 middle point keeps the 1x1 trunk projections bf16
+    cfg_c = Config.fromfile("configs/bop/r50_ycbv_pbr_int8_conv2.py")
+    model_c = build_detector(cfg_c.model.to_dict(), dtype="bfloat16")
+    assert (
+        model_c.head_quant == "int8" and model_c.backbone_quant == "int8_conv2"
+    )
 
 
 # ---------------------------------------------------------------------------
