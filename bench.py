@@ -161,8 +161,11 @@ def main():
                     "deploy variant (configs/bop/r50_ycbv_pbr_int8_full.py: "
                     "int8 head tower + int8 backbone trunk convs, identical "
                     "params; deltas vs bf16 bounded in "
-                    "tests/test_int8_deploy.py). int8_head_img_s = the "
-                    "tighter-envelope head-only variant, static snapshot. "
+                    "tests/test_int8_deploy.py; trained-network cost measured "
+                    "at mAP50 -0.007 / strict-IoU mAP -0.054 — DESIGN.md 12). "
+                    "int8_head_img_s = the head-only variant, measured FREE "
+                    "(mAP50 +0.000, mAP -0.008) and the accuracy-safe deploy "
+                    "default; static snapshot. "
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
                     "host_inclusive_img_s includes per-batch host->device transfer "
