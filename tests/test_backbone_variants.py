@@ -276,8 +276,8 @@ def _convert_to_flax_vars(tmodel, fmodel, x_shape):
 @pytest.mark.parametrize(
     "depth,kwargs",
     [
-        pytest.param(18, dict(deep_stem=True, avg_down=True), marks=pytest.mark.slow),  # ResNetV1d-18
-        (50, dict(groups=32, base_width=4)),  # ResNeXt-50 32x4d
+        (18, dict(deep_stem=True, avg_down=True)),  # ResNetV1d-18 (fast representative)
+        pytest.param(50, dict(groups=32, base_width=4), marks=pytest.mark.slow),  # ResNeXt-50 32x4d
         pytest.param(50, dict(deep_stem=True, avg_down=True, groups=32, base_width=4), marks=pytest.mark.slow),  # ResNeSt-style combo
         pytest.param(50, dict(deep_stem=True, avg_down=True, scales=4, base_width=26), marks=pytest.mark.slow),  # Res2Net-50
         pytest.param(50, dict(deep_stem=True, avg_down=True, radix=2), marks=pytest.mark.slow),  # ResNeSt-50

@@ -75,7 +75,10 @@ def _check_exact(model, variables, x, min_fused, mild=False, **call_kw):
     [
         (dict(depth=18), 17, False),  # stem + 8 basic blocks x2 + downsample bns
         (dict(depth=50, deep_stem=True, avg_down=True), 40, False),  # V1d
-        (dict(depth=50, groups=32, base_width=4), 40, False),  # ResNeXt
+        pytest.param(
+            dict(depth=50, groups=32, base_width=4), 40, False,
+            marks=pytest.mark.slow,
+        ),  # ResNeXt (grouped-conv folding; V1d keeps the fast depth-50 rep)
         pytest.param(
             dict(depth=50, scales=4, base_width=26, deep_stem=True, avg_down=True),
             40, False, marks=pytest.mark.slow,
@@ -95,6 +98,7 @@ def test_resnet_family_fuse_exact(kwargs, min_fused, mild):
     assert report["skipped"] == 0, report["skipped_paths"]
 
 
+@pytest.mark.slow
 def test_darknet_fuse_exact():
     from radet_tpu.models.backbones_extra import Darknet
 
@@ -105,6 +109,7 @@ def test_darknet_fuse_exact():
     assert report["skipped"] == 0, report["skipped_paths"]
 
 
+@pytest.mark.slow
 def test_detectors_sac_convs_skipped_but_exact():
     """SAC convs re-standardize weights at call time; their BNs must be left
     unfused and the output still exact."""

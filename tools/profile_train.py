@@ -44,6 +44,12 @@ def parse_args():
     )
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    p.add_argument(
+        "--step-only",
+        action="store_true",
+        help="time only the full train step (one compile instead of four; "
+        "the component breakdown is skipped) — fits a tunnel-compile budget",
+    )
     return p.parse_args()
 
 
@@ -198,14 +204,19 @@ def main():
     step_flops = float(ca.get("flops", -1)) if ca else -1.0
 
     # ---- timings -----------------------------------------------------------
-    t_assign, _ = _steady_ms(lambda: assign_only(key, batch), args.iters)
-    assign_out = assign_only(key, batch)
-    t_fwd, _ = _steady_ms(
-        lambda: fwd_only(state.params, state.batch_stats, batch["image"]), args.iters
-    )
-    t_fwdloss, _ = _steady_ms(
-        lambda: fwd_loss(state.params, state.batch_stats, batch, assign_out), args.iters
-    )
+    if args.step_only:
+        t_assign = t_fwd = t_fwdloss = float("nan")
+    else:
+        t_assign, _ = _steady_ms(lambda: assign_only(key, batch), args.iters)
+        assign_out = assign_only(key, batch)
+        t_fwd, _ = _steady_ms(
+            lambda: fwd_only(state.params, state.batch_stats, batch["image"]),
+            args.iters,
+        )
+        t_fwdloss, _ = _steady_ms(
+            lambda: fwd_loss(state.params, state.batch_stats, batch, assign_out),
+            args.iters,
+        )
     t_step, state = _steady_ms(
         lambda st: train_step(st, batch, key), args.iters, rebind_state=True, state=state
     )
@@ -229,11 +240,11 @@ def main():
         input_size=[h, w],
         step_ms=round(t_step, 2),
         img_per_s=round(img_s, 1),
-        fwd_ms=round(t_fwd, 2),
-        fwd_loss_ms=round(t_fwdloss, 2),
-        bwd_opt_ms=round(t_step - t_fwdloss - t_assign, 2),
-        assign_ms=round(t_assign, 2),
-        assign_frac=round(t_assign / t_step, 4),
+        fwd_ms=None if args.step_only else round(t_fwd, 2),
+        fwd_loss_ms=None if args.step_only else round(t_fwdloss, 2),
+        bwd_opt_ms=None if args.step_only else round(t_step - t_fwdloss - t_assign, 2),
+        assign_ms=None if args.step_only else round(t_assign, 2),
+        assign_frac=None if args.step_only else round(t_assign / t_step, 4),
         step_tflops=round(step_flops / 1e12, 3) if step_flops > 0 else None,
         mfu=round(mfu, 4) if mfu > 0 else None,
         peak_tflops=args.peak_tflops,
