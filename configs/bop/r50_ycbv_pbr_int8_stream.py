@@ -1,0 +1,34 @@
+# Maximum-throughput int8 deploy variant: head tower + backbone trunk AND
+# the backbone residual stream itself carried as int8.
+#
+# On top of r50_ycbv_pbr_int8_full.py, the inter-block residual tensor is
+# quantized with static per-channel bounds accumulated across blocks
+# (means add linearly, variances add in quadrature — models/resnet.py::
+# _bn_affine_stats), the stem maxpool runs on int8, and conv1/downsample
+# consume the int8 stream directly with their scales folded into constant
+# weights.  This removes the last bf16 tensors from the HBM-bound early
+# stages: every backbone activation that crosses HBM is int8.
+#
+# Accuracy envelope: the stream quantization adds noise ~2.7x the bf16
+# trunk's own rounding envelope per level (vs ~1.7x for _int8_full;
+# tests/test_int8_deploy.py pins both ratios on the calibrated-stats parity
+# fixture), flat across depth — the quadrature bound does not compound.
+# Expect a larger strict-IoU mAP cost than _int8_full's measured -0.054;
+# measure on your validation split (tools/compare_ap.py,
+# docs/PARITY_RUNBOOK.md) before deploying, and prefer QAT fine-tuning
+# (r50_ycbv_pbr_int8_qat.py) to recover the delta: this config's exact
+# arithmetic is what the QAT recipe trains against.
+#
+# Param tree is identical to the bf16 model (deploy-time switch).
+# Incompatible with --fuse-conv-bn (folding erases the BN affine the
+# static scales derive from; tools/test.py fails fast).
+_base_ = ["./r50_ycbv_pbr.py"]
+
+model = dict(
+    backbone=dict(
+        quant="int8_stream",
+    ),
+    bbox_head=dict(
+        quant="int8",
+    ),
+)

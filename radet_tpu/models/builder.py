@@ -58,13 +58,19 @@ def _backbone_quant(backbone: Dict[str, Any], btype: str):
     q = backbone.get("quant", None)
     if q is None:
         return None
-    assert q in ("int8", "int8_conv2"), (
-        f"backbone.quant: unsupported {q!r} (None | 'int8' | 'int8_conv2')"
+    assert q in ("int8", "int8_conv2", "int8_stream"), (
+        f"backbone.quant: unsupported {q!r} "
+        "(None | 'int8' | 'int8_conv2' | 'int8_stream')"
     )
     assert btype in ("ResNet", "ResNetV1d", "ResNeXt"), (
         f"backbone.quant='int8' is implemented for the ResNet/ResNeXt "
         f"trunk, not {btype}"
     )
+    if q == "int8_stream":
+        assert btype in ("ResNet", "ResNeXt"), (
+            "backbone.quant='int8_stream' needs the plain 7x7 stem and "
+            "strided 1x1 downsample (V1d's deep_stem/avg_down: use 'int8')"
+        )
     return q
 
 
@@ -147,6 +153,8 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         backbone_opts=backbone_opts,
         with_cp=backbone.get("with_cp", False),
         backbone_quant=_backbone_quant(backbone, btype),
+        backbone_qat=bool(backbone.get("qat", False)),
+        head_qat=bool(head.get("qat", False)),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),
         stem_s2d=backbone.get("stem_s2d", False),

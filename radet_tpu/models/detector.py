@@ -56,6 +56,10 @@ class RADet(nn.Module):
     with_cp: bool = False  # per-block gradient checkpointing (remat)
     # deploy-time int8 trunk convs (resnet.ResNet.quant; eval only)
     backbone_quant: Optional[str] = None
+    # train-time STE fake-quant at the deploy scales (QAT; resnet.ResNet.qat
+    # / radet_head.RADetHead.qat) — set alongside the matching quant level
+    backbone_qat: bool = False
+    head_qat: bool = False
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -115,6 +119,7 @@ class RADet(nn.Module):
             avg_down_stride=self.avg_down_stride,
             with_cp=self.with_cp,
             quant=self.backbone_quant,
+            qat=self.backbone_qat,
             dtype=self.dtype,
             name="backbone",
         )
@@ -184,6 +189,7 @@ class RADet(nn.Module):
                 num_levels=head_levels,
                 dtype=self.dtype,
                 quant=self.head_quant,
+                qat=self.head_qat,
                 name="bbox_head",
             )
         elif self.head_type == "ATSSHead":

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.quant import Int8Conv, affine_act_scale, quantize_int8
+from ..ops.quant import Int8Conv, affine_act_scale, fake_quant_ste, quantize_int8
 
 Dtype = Any
 
@@ -66,11 +66,14 @@ class ConvGNBlock(nn.Module):
     dtype: Dtype = jnp.float32
     quant: Optional[str] = None  # None | 'int8'
     act_bound_sigma: float = 8.0  # k in the static GN activation bound
+    # QAT: STE fake-quant at the same static scales (differentiable; the
+    # forward equals the deploy int8 path up to accumulation precision)
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, x_scale=None, emit_int8: bool = False):
         if self.quant == "int8":
-            x = _Int8Conv(self.feat_channels, name="conv")(x, x_scale)
+            x = _Int8Conv(self.feat_channels, qat=self.qat, name="conv")(x, x_scale)
         else:
             x = nn.Conv(
                 self.feat_channels,
@@ -92,6 +95,9 @@ class ConvGNBlock(nn.Module):
         gamma = gn.variables["params"]["scale"]
         beta = gn.variables["params"]["bias"]
         s = affine_act_scale(gamma, beta, self.act_bound_sigma)
+        if self.qat:
+            # same grid, float representation, gradients flow
+            return fake_quant_ste(y, s), s
         y_q = quantize_int8(y, s)
         return y_q, s
 
@@ -125,16 +131,23 @@ class RADetHead(nn.Module):
     # output heads stay bf16/f32 — their logits are accuracy-critical and
     # their channel counts too small to matter). See _Int8Conv.
     quant: Optional[str] = None
+    # train-time STE fake-quant of the tower at the deploy scales (QAT);
+    # requires quant='int8'
+    qat: bool = False
 
     def setup(self):
         if self.quant not in (None, "int8"):
             raise ValueError(f"RADetHead.quant: unsupported {self.quant!r} (None | 'int8')")
+        if self.qat:
+            assert self.quant == "int8", "RADetHead.qat needs quant='int8'"
         self.cls_convs = [
-            ConvGNBlock(self.feat_channels, self.dtype, self.quant, name=f"cls_conv_{i}")
+            ConvGNBlock(self.feat_channels, self.dtype, self.quant,
+                        qat=self.qat, name=f"cls_conv_{i}")
             for i in range(self.stacked_convs)
         ]
         self.reg_convs = [
-            ConvGNBlock(self.feat_channels, self.dtype, self.quant, name=f"reg_conv_{i}")
+            ConvGNBlock(self.feat_channels, self.dtype, self.quant,
+                        qat=self.qat, name=f"reg_conv_{i}")
             for i in range(self.stacked_convs)
         ]
         head_kw = dict(

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from ..ops.quant import Int8Conv, affine_act_scale, quantize_int8
+from ..ops.quant import Int8Conv, affine_act_scale, fake_quant_ste, quantize_int8
 
 # layer counts per depth
 ARCH = {
@@ -167,6 +167,50 @@ class StemConvS2D(nn.Module):
         )
 
 
+# k-sigma factor shared by every static int8 activation bound in the trunk
+# (see _bn_act_scale for the measured k-sweep that picked 4).
+_STREAM_K = 4.0
+
+
+def _bn_affine_stats(bn: FrozenAwareBN):
+    """Per-channel (|mean| bound, variance) of a post-BN tensor, from params.
+
+    FrozenAwareBN standardizes with RUNNING stats, so on-distribution the
+    post-affine tensor has per-channel mean ~beta and std ~|gamma|.  These
+    are the accumulation-friendly form of the k-sigma bound: across a
+    residual add the mean bounds add linearly and the variances add in
+    quadrature (independence approximation between the block branch and the
+    identity stream — residual branches are decorrelated enough in practice
+    that the quadrature bound holds with the same k=4 margin; the pure
+    triangle-inequality alternative grows linearly with stage depth and was
+    measured to double the quantization step by layer3).  Constants at trace
+    time, so XLA folds every derived scale.
+    """
+    p = bn.variables["params"]["BatchNorm_0"]
+    return jnp.abs(p["bias"]), p["scale"] ** 2
+
+
+def _stream_scale(stats):
+    """(mean bound, var) -> per-channel symmetric int8 scale, k-sigma rule."""
+    mean_b, var_b = stats
+    return jnp.maximum(mean_b + _STREAM_K * jnp.sqrt(var_b), 1e-6) / 127.0
+
+
+def _max_pool_int8(x):
+    """torch MaxPool2d(3, stride=2, padding=1) on an int8 tensor.
+
+    reduce_window pads with the init value (-128), which never wins the max
+    against real int8 values — the int8 analogue of the -inf pad the float
+    path uses.  Max commutes with the monotone quantization, so pooling the
+    quantized tensor equals quantizing the pooled tensor exactly; running it
+    int8 halves the stem maxpool's HBM bytes (measured 2.4 ms at batch 128).
+    """
+    return jax.lax.reduce_window(
+        x, jnp.int8(-128), jax.lax.max,
+        (1, 3, 3, 1), (1, 2, 2, 1), ((0, 0), (1, 1), (1, 1), (0, 0)),
+    )
+
+
 def _bn_act_scale(bn: FrozenAwareBN, k: float = 4.0):
     """Static per-channel int8 activation scales for a post-BN+ReLU tensor.
 
@@ -191,7 +235,7 @@ def _bn_act_scale(bn: FrozenAwareBN, k: float = 4.0):
     return affine_act_scale(p["scale"], p["bias"], k)
 
 
-def _q8_conv(features, kernel, stride, name, groups=1):
+def _q8_conv(features, kernel, stride, name, groups=1, qat=False):
     """Int8Conv matching _conv's param tree/init (see ops/quant.py)."""
     pad = (kernel - 1) // 2
     return Int8Conv(
@@ -201,6 +245,7 @@ def _q8_conv(features, kernel, stride, name, groups=1):
         padding=((pad, pad), (pad, pad)),
         feature_group_count=groups,
         kernel_init=nn.initializers.variance_scaling(2.0, "fan_out", "normal"),
+        qat=qat,
         name=name,
     )
 
@@ -220,26 +265,44 @@ class Bottleneck(nn.Module):
     # 1x1 output projection bf16 — measured to cost strict-IoU mAP when
     # quantized, tools/validate_learning.py --int8-eval).  Eligible convs
     # have single-consumer post-BN+ReLU inputs with a static _bn_act_scale
-    # bound; conv1/downsample read the residual stream (bound accumulates
-    # across blocks via the identity adds) and stay bf16.  These stages are
-    # HBM-bound (docs/DESIGN.md 9), so the win is halved activation bytes,
-    # not MXU rate.
+    # bound.  'int8_stream' additionally carries the residual stream itself
+    # as int8: the caller passes ``stream=(mean bound, var)`` per-channel
+    # stats of the int8 input ``x`` (accumulated mean-linearly /
+    # variance-in-quadrature across blocks, _bn_affine_stats), conv1 and
+    # downsample_conv consume the int8 stream directly, and the block
+    # returns ``(y_int8, stats_out)`` with the post-add bound.  These
+    # stages are HBM-bound (docs/DESIGN.md 9), so the win is halved
+    # activation bytes, not MXU rate.
     quant: Optional[str] = None
+    # QAT: in TRAIN mode, mirror the deploy int8 arithmetic with STE
+    # fake-quant at the exact same static scales (ops/quant.py::
+    # fake_quant_ste), so fine-tuning recovers the PTQ accuracy delta and
+    # the deployed int8 model IS the trained forward.  Requires norm_eval
+    # (the static scales read frozen running stats).
+    qat: bool = False
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
-        q8_c2 = self.quant in ("int8", "int8_conv2") and not train
-        q8_c3 = self.quant == "int8" and not train
+    def __call__(self, x, train: bool = False, stream=None):
+        qat = self.qat and train and self.quant is not None
+        live = (not train) or qat  # quantized arithmetic active
+        q8_stream = self.quant == "int8_stream" and live and stream is not None
+        q8_c2 = self.quant in ("int8", "int8_conv2", "int8_stream") and live
+        q8_c3 = self.quant in ("int8", "int8_stream") and live
         identity = x
         width = self.width or self.planes
-        out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
+        cout = self.planes * self.expansion
+        if q8_stream:
+            s_in = _stream_scale(stream)
+            out = _q8_conv(width, 1, 1, "conv1", qat=qat)(x, s_in)
+        else:
+            out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
         out = nn.relu(bn1(out, train))
         # 'pytorch' style: stride lives on the 3x3 conv
         if q8_c2:
             s1 = _bn_act_scale(bn1)
-            out = _q8_conv(width, 3, self.stride, "conv2", self.groups)(
-                quantize_int8(out, s1), s1
+            out = _q8_conv(width, 3, self.stride, "conv2", self.groups, qat=qat)(
+                out if qat else quantize_int8(out, s1), s1
             )
         else:
             out = _conv(width, 3, self.stride, name="conv2", dtype=self.dtype,
@@ -248,20 +311,46 @@ class Bottleneck(nn.Module):
         out = nn.relu(bn2(out, train))
         if q8_c3:
             s2 = _bn_act_scale(bn2)
-            out = _q8_conv(self.planes * self.expansion, 1, 1, "conv3")(
-                quantize_int8(out, s2), s2
+            out = _q8_conv(cout, 1, 1, "conv3", qat=qat)(
+                out if qat else quantize_int8(out, s2), s2
             )
         else:
-            out = _conv(self.planes * self.expansion, 1, 1, name="conv3",
-                        dtype=self.dtype)(out)
-        out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")(out, train)
+            out = _conv(cout, 1, 1, name="conv3", dtype=self.dtype)(out)
+        bn3 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn3")
+        out = bn3(out, train)
+        ds_bn = None
         if self.has_downsample:
-            ds_in = _avg_down(x, self.stride) if self.avg_down else x
-            identity = _conv(self.planes * self.expansion, 1,
-                             1 if self.avg_down else self.stride,
-                             name="downsample_conv", dtype=self.dtype)(ds_in)
-            identity = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")(identity, train)
-        return nn.relu(out + identity)
+            if q8_stream:
+                # avg_down is gated out by ResNet (int8 avg-pool is inexact)
+                identity = _q8_conv(cout, 1, self.stride, "downsample_conv",
+                                    qat=qat)(x, s_in)
+            else:
+                ds_in = _avg_down(x, self.stride) if self.avg_down else x
+                identity = _conv(cout, 1, 1 if self.avg_down else self.stride,
+                                 name="downsample_conv", dtype=self.dtype)(ds_in)
+            ds_bn = FrozenAwareBN(self.dtype, self.norm_eval, name="downsample_bn")
+            identity = ds_bn(identity, train)
+        elif q8_stream and not qat:
+            # dequantize the int8 stream for the residual add (the second —
+            # and only other — read of the stream tensor, still int8 bytes).
+            # Under QAT x is already the fake-quantized float stream, which
+            # equals this dequantization exactly.
+            identity = x.astype(jnp.float32) * s_in
+        y = nn.relu(out + identity)
+        if not q8_stream:
+            return y
+        # Post-add bound: block-branch stats from bn3's affine, identity
+        # stats from the downsample BN (if any) or the incoming stream.
+        # bn3/add/relu/quantize are all elementwise with constant scales, so
+        # XLA fuses them into conv3's epilogue and the inter-block tensor is
+        # written once, as int8.
+        id_stats = _bn_affine_stats(ds_bn) if ds_bn is not None else stream
+        m3, v3 = _bn_affine_stats(bn3)
+        stats_out = (m3 + id_stats[0], v3 + id_stats[1])
+        s_out = _stream_scale(stats_out)
+        if qat:
+            return fake_quant_ste(y, s_out), stats_out
+        return quantize_int8(y, s_out), stats_out
 
 
 class Bottle2neck(nn.Module):
@@ -435,16 +524,20 @@ class BasicBlock(nn.Module):
     width: int = 0
     avg_down: bool = False
     quant: Optional[str] = None  # deploy-time int8 conv2 (see Bottleneck)
+    qat: bool = False  # train-time STE fake-quant at the deploy scales
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        qat = self.qat and train and self.quant is not None
         identity = x
         out = _conv(self.planes, 3, self.stride, name="conv1", dtype=self.dtype)(x)
         bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
         out = nn.relu(bn1(out, train))
-        if self.quant in ("int8", "int8_conv2") and not train:
+        if self.quant in ("int8", "int8_conv2") and ((not train) or qat):
             s1 = _bn_act_scale(bn1)
-            out = _q8_conv(self.planes, 3, 1, "conv2")(quantize_int8(out, s1), s1)
+            out = _q8_conv(self.planes, 3, 1, "conv2", qat=qat)(
+                out if qat else quantize_int8(out, s1), s1
+            )
         else:
             out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)
         out = FrozenAwareBN(self.dtype, self.norm_eval, name="bn2")(out, train)
@@ -584,16 +677,27 @@ class ResNet(nn.Module):
     # cp.checkpoint): rematerialize block activations in backward — the
     # HBM-for-FLOPs lever for larger batches/inputs
     with_cp: bool = False
-    # deploy-time int8 for the HBM-bound trunk convs (eval only, param tree
-    # unchanged): conv2/conv3 of every block run int8 with static
+    # deploy-time int8 for the HBM-bound trunk convs (eval only unless qat,
+    # param tree unchanged): conv2/conv3 of every block run int8 with static
     # frozen-BN-derived activation scales (see Bottleneck.quant /
-    # ops/quant.py); the residual-stream convs stay bf16
+    # ops/quant.py); 'int8_stream' additionally carries the residual stream
+    # itself as int8 (plain-stem Bottleneck nets only)
     quant: Optional[str] = None
+    # QAT: train-time STE fake-quant mirroring the deploy arithmetic at the
+    # same static scales, so fine-tuning absorbs the quantization noise and
+    # the int8-deployed weights lose no accuracy (ops/quant.py).
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        block_kind, stage_blocks = ARCH[self.depth]
+        if self.qat:
+            assert self.quant is not None and self.norm_eval, (
+                "ResNet.qat needs a quant level and norm_eval=True (the "
+                "static scales read frozen running stats)"
+            )
         if self.quant is not None:
-            assert self.quant in ("int8", "int8_conv2"), (
+            assert self.quant in ("int8", "int8_conv2", "int8_stream"), (
                 f"ResNet.quant: {self.quant!r}"
             )
             assert self.scales == 1 and self.radix == 0, (
@@ -601,7 +705,15 @@ class ResNet(nn.Module):
                 "ResNeXt Bottleneck and BasicBlock (the flagship deploy "
                 "path); Res2Net/ResNeSt blocks are not wired"
             )
-        block_kind, stage_blocks = ARCH[self.depth]
+            if self.quant == "int8_stream":
+                assert (block_kind == "bottleneck" and not self.deep_stem
+                        and not self.avg_down), (
+                    "int8_stream carries the residual stream as int8 and is "
+                    "wired for the plain/ResNeXt Bottleneck stem+trunk only "
+                    "(deep_stem/avg_down variants: use quant='int8')"
+                )
+        qat = self.qat and train and self.quant is not None
+        q8_stream = self.quant == "int8_stream" and ((not train) or qat)
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
         expansion = 4 if block_kind == "bottleneck" else 1
 
@@ -612,14 +724,29 @@ class ResNet(nn.Module):
                 x = _conv(feats, 3, stride, name=f"stem_conv{i}", dtype=self.dtype)(x)
                 x = FrozenAwareBN(self.dtype, self.norm_eval, name=f"stem_bn{i}")(x, train)
                 x = nn.relu(x)
+            stem_bn = None
         else:
             x = StemConvS2D(64, dtype=self.dtype, use_s2d=self.stem_s2d, name="conv1")(x)
-            x = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")(x, train)
-            x = nn.relu(x)
-        # torch MaxPool2d(3, stride=2, padding=1): pad with -inf so the pad
-        # never wins the max.
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+            stem_bn = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
+            x = nn.relu(stem_bn(x, train))
+        if q8_stream and not qat:
+            # quantize in the stem BN+ReLU epilogue; maxpool runs on int8
+            # (exact — max commutes with the monotone quantization)
+            stream = _bn_affine_stats(stem_bn)
+            x = quantize_int8(x, _stream_scale(stream))
+            x = _max_pool_int8(x)
+        elif q8_stream:
+            # QAT: same grid in float (maxpool commutes with fake-quant)
+            stream = _bn_affine_stats(stem_bn)
+            x = fake_quant_ste(x, _stream_scale(stream))
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        else:
+            stream = None
+            # torch MaxPool2d(3, stride=2, padding=1): pad with -inf so the
+            # pad never wins the max.
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
         if self.frozen_stages >= 0 and train:
             x = jax.lax.stop_gradient(x)
 
@@ -662,14 +789,29 @@ class ResNet(nn.Module):
                     x = remat(Bottle2neck)(
                         scales=self.scales, base_width=self.base_width, **common
                     )(x, train)
+                elif q8_stream:
+                    # stream-carrying block; remat still applies under QAT
+                    # training (param names are identical either way —
+                    # nn.remat preserves scopes)
+                    x, stream = remat(Bottleneck)(
+                        groups=self.groups, width=width, avg_down=self.avg_down,
+                        quant=self.quant, qat=self.qat, **common,
+                    )(x, train, stream)
                 else:
                     x = remat(block_cls)(
                         groups=self.groups, width=width, avg_down=self.avg_down,
-                        quant=self.quant, **common,
+                        quant=self.quant, qat=self.qat, **common,
                     )(x, train)
                 channels = planes * expansion
             if self.frozen_stages >= stage_idx + 1 and train:
                 x = jax.lax.stop_gradient(x)
             if stage_idx in self.out_indices:
-                outs.append(x)
+                if q8_stream and not qat:
+                    # dequantize only the pyramid taps the neck consumes
+                    # (start_level=1 leaves C2 dead — XLA removes it)
+                    outs.append(
+                        (x.astype(jnp.float32) * _stream_scale(stream)).astype(self.dtype)
+                    )
+                else:
+                    outs.append(x.astype(self.dtype) if q8_stream else x)
         return tuple(outs)

@@ -82,6 +82,15 @@ class Int8Conv(nn.Module):
     feature_group_count: int = 1
     kernel_init: Callable = nn.initializers.normal(0.01)
     out_dtype: Dtype = jnp.bfloat16
+    # bias matches nn.Conv's param tree when the float conv it replaces has
+    # one (e.g. the FPN lateral convs); added after dequant in f32
+    use_bias: bool = False
+    bias_init: Callable = nn.initializers.zeros
+    # QAT mode: float conv over STE fake-quantized weight/input — the
+    # forward sees exactly the deploy grid (same scales), gradients flow to
+    # the float params (fake_quant_ste).  Input must be float here; the
+    # caller passes the SAME static scale deploy will use.
+    qat: bool = False
 
     @nn.compact
     def __call__(self, x, x_scale=None):
@@ -91,6 +100,30 @@ class Int8Conv(nn.Module):
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, cin, self.features), jnp.float32
         )
+        if self.qat:
+            assert x.dtype != jnp.int8, "QAT fake-quant consumes float inputs"
+            xf = x.astype(jnp.float32)
+            s_x = x_scale if x_scale is not None else (
+                jax.lax.stop_gradient(jnp.max(jnp.abs(xf))) / 127.0
+            )
+            x_fq = fake_quant_ste(xf, jnp.maximum(s_x, 1e-12))
+            k_fq = fake_quant_weight_ste(kernel)
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
+            )
+            out = jax.lax.conv_general_dilated(
+                x_fq.astype(self.out_dtype),
+                k_fq.astype(self.out_dtype),
+                self.strides,
+                tuple(self.padding),
+                dimension_numbers=dn,
+                feature_group_count=groups,
+            ).astype(jnp.float32)
+            if self.use_bias:
+                out = out + self.param(
+                    "bias", self.bias_init, (self.features,), jnp.float32
+                )
+            return out.astype(self.out_dtype)
         per_channel = x_scale is not None and jnp.ndim(x_scale) == 1
         if per_channel:
             # Fold the per-input-channel activation scales into the constant
@@ -135,4 +168,34 @@ class Int8Conv(nn.Module):
             feature_group_count=groups,
             preferred_element_type=jnp.int32,
         )
-        return (y.astype(jnp.float32) * (s_x * s_w)).astype(self.out_dtype)
+        out = y.astype(jnp.float32) * (s_x * s_w)
+        if self.use_bias:
+            out = out + self.param("bias", self.bias_init, (self.features,), jnp.float32)
+        return out.astype(self.out_dtype)
+
+
+def fake_quant_ste(x: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Quantize->dequantize in float with straight-through gradients.
+
+    The QAT primitive: forward sees exactly the symmetric-int8 grid values
+    the deploy-time Int8Conv computes with (same ``scale`` semantics —
+    scalar per-tensor or (C,) per-channel over the trailing axis), while the
+    backward pass treats the rounding as identity, so gradients flow to the
+    underlying float parameter/activation (Bengio et al.'s straight-through
+    estimator, the standard QAT recipe).  ``scale`` itself receives no
+    gradient through the quantization (it sits inside the stop_gradient),
+    matching the static-scale deployment where scales are recomputed from
+    the fine-tuned norm affines by the same formula.
+    """
+    xf = x.astype(jnp.float32)
+    q = jnp.clip(jnp.round(xf / scale), -127.0, 127.0) * scale
+    return (xf + jax.lax.stop_gradient(q - xf)).astype(x.dtype)
+
+
+def fake_quant_weight_ste(kernel: jnp.ndarray) -> jnp.ndarray:
+    """STE fake-quant of a conv kernel with Int8Conv's own per-output-channel
+    symmetric scales (absmax over the (kh, kw, cin) axes / 127), so QAT
+    training sees the exact weight grid deployment will use."""
+    s_w = jnp.max(jnp.abs(kernel), axis=(0, 1, 2)) / 127.0
+    s_w = jax.lax.stop_gradient(jnp.maximum(s_w, 1e-12))
+    return fake_quant_ste(kernel, s_w)

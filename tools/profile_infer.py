@@ -41,9 +41,11 @@ def parse_args():
     p.add_argument("--peak-tflops", type=float, default=197.0, help="v5e bf16 peak")
     p.add_argument("--peak-bw-gbs", type=float, default=819.0, help="v5e HBM GB/s")
     p.add_argument("--cpu", action="store_true")
-    p.add_argument("--quant", default=None, choices=["int8", "int8_full"],
+    p.add_argument("--quant", default=None,
+                   choices=["int8", "int8_full", "int8_stream"],
                    help="profile a quantized deploy variant: 'int8' = head "
-                   "tower only, 'int8_full' = head + backbone trunk")
+                   "tower only, 'int8_full' = head + backbone trunk, "
+                   "'int8_stream' = trunk + int8 residual stream")
     return p.parse_args()
 
 
