@@ -18,8 +18,13 @@
 # total_iters/lr for your budget.  Param tree is unchanged, so the float
 # checkpoint loads directly and the QAT output deploys directly.
 #
-# tools/validate_learning.py --qat measures the end-to-end effect on the
-# synthetic fixture (train float -> PTQ eval vs continue QAT -> int8 eval).
+# tools/validate_learning.py --qat measures the end-to-end recovery loop
+# on the synthetic fixture (train float -> PTQ deploy-eval -> QAT fine-tune
+# -> deploy-eval the fine-tuned weights; prints the recovered fraction of
+# the PTQ gap).  tests/test_quant_ops.py pins the STE primitives (forward
+# on the exact deploy grid, straight-through gradients, qat inert at eval)
+# and tests/test_int8_deploy.py::test_stream_qat_forward_matches_deploy
+# pins that the QAT train forward tracks the int8_stream deploy forward.
 _base_ = ["./r50_ycbv_pbr.py"]
 
 model = dict(

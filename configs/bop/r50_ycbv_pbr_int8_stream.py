@@ -10,9 +10,11 @@
 # stages: every backbone activation that crosses HBM is int8.
 #
 # Accuracy envelope: the stream quantization adds noise ~2.7x the bf16
-# trunk's own rounding envelope per level (vs ~1.7x for _int8_full;
-# tests/test_int8_deploy.py pins both ratios on the calibrated-stats parity
-# fixture), flat across depth — the quadrature bound does not compound.
+# trunk's own rounding envelope per level (measured 2.59-2.88x, vs
+# 1.47-1.69x for _int8_full; tests/test_int8_deploy.py::
+# test_trunk_int8_stream_noise_ratio and ::test_trunk_int8_noise_within_
+# bf16_envelope pin both ratios on the calibrated-stats parity fixture),
+# flat across depth — the quadrature bound does not compound.
 # Expect a larger strict-IoU mAP cost than _int8_full's measured -0.054;
 # measure on your validation split (tools/compare_ap.py,
 # docs/PARITY_RUNBOOK.md) before deploying, and prefer QAT fine-tuning

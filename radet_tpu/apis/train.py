@@ -37,6 +37,23 @@ from .common import (
 from .test import evaluate_results, run_inference
 
 
+def check_trainable_quant(model_cfg) -> None:
+    """int8 is a deploy-time switch: the quantizing round() has zero
+    gradient, so training a plain quant config would silently freeze the
+    quantized convs.  The exception is QAT (qat=True alongside quant): the
+    forward then runs STE fake-quantization at the same deploy scales, which
+    HAS gradients (ops/quant.py::fake_quant_ste) — the supported way to
+    train a quant config (configs/bop/r50_ycbv_pbr_int8_qat.py)."""
+    for part in ("backbone", "bbox_head"):
+        pcfg = model_cfg.get(part, {})
+        assert not pcfg.get("quant") or pcfg.get("qat"), (
+            f"model.{part}.quant={pcfg.get('quant')!r} without qat=True is a "
+            "deploy-time option (ops/quant.py) — train the bf16 config and "
+            "flip quant at test time, or set qat=True for STE fine-tuning "
+            "(r50_ycbv_pbr_int8_qat.py)"
+        )
+
+
 def train_detector(
     cfg,
     work_dir: Optional[str] = None,
@@ -73,14 +90,7 @@ def train_detector(
     except Exception as e:  # noqa: BLE001 - non-fatal
         logger.warning(f"config dump failed: {e}")
 
-    # int8 is a deploy-time switch: the quantizing round() has zero gradient,
-    # so training a quant config would silently freeze the quantized convs
-    assert not cfg.model.get("bbox_head", {}).get("quant") and not cfg.model.get(
-        "backbone", {}
-    ).get("quant"), (
-        "model.*.quant='int8' is a deploy-time option (ops/quant.py) — train "
-        "the bf16 config (e.g. r50_ycbv_pbr.py) and flip quant at test time"
-    )
+    check_trainable_quant(cfg.model)
     model, anchors, ranges, counts = build_model_and_anchors(cfg)
     input_size = tuple(cfg.get("input_size", (480, 640)))
     variables = init_variables(model, input_size, seed)

@@ -85,6 +85,16 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
     neck = dict(cfg.get("neck", {}))
     head = dict(cfg.get("bbox_head", {}))
     hspec = head_spec_from_cfg(head)
+    # QAT is wired for the flagship deploy path only; fail fast instead of
+    # silently training the plain path (review finding r4)
+    if head.get("qat"):
+        assert hspec["head_type"] == "RADetHead", (
+            f"bbox_head.qat is implemented for RADetHead's tower "
+            f"(models/radet_head.py), not {hspec['head_type']}"
+        )
+        assert head.get("quant") == "int8", "bbox_head.qat needs quant='int8'"
+    if backbone.get("qat"):
+        assert backbone.get("quant"), "backbone.qat needs a backbone.quant level"
     if det_type == "RADet":
         assert hspec["head_type"] == "RADetHead", (
             "detector type 'RADet' pairs with RADetHead (radet.py:19-32 "

@@ -227,6 +227,10 @@ class RADet(nn.Module):
     def __call__(self, images, train: bool = False):
         feats = self.backbone(images, train=train)
         pyramids = self.neck(feats)
+        if self.head_type == "RADetHead":
+            # train gates the head's QAT fake-quant: at eval a qat head runs
+            # the true int8 deploy arithmetic, consistent with the backbone
+            return self.bbox_head(pyramids, train=train)
         return self.bbox_head(pyramids)
 
 

@@ -67,13 +67,19 @@ class ConvGNBlock(nn.Module):
     quant: Optional[str] = None  # None | 'int8'
     act_bound_sigma: float = 8.0  # k in the static GN activation bound
     # QAT: STE fake-quant at the same static scales (differentiable; the
-    # forward equals the deploy int8 path up to accumulation precision)
+    # forward equals the deploy int8 path up to accumulation precision).
+    # Active only while train=True — at eval a qat tower runs the true int8
+    # deploy arithmetic, so in-training validation measures what ships
+    # (matching the backbone's `qat and train` gating in models/resnet.py).
     qat: bool = False
 
     @nn.compact
-    def __call__(self, x, x_scale=None, emit_int8: bool = False):
+    def __call__(self, x, x_scale=None, emit_int8: bool = False,
+                 train: bool = False):
         if self.quant == "int8":
-            x = _Int8Conv(self.feat_channels, qat=self.qat, name="conv")(x, x_scale)
+            x = _Int8Conv(self.feat_channels, qat=self.qat, name="conv")(
+                x, x_scale, train=train
+            )
         else:
             x = nn.Conv(
                 self.feat_channels,
@@ -95,17 +101,19 @@ class ConvGNBlock(nn.Module):
         gamma = gn.variables["params"]["scale"]
         beta = gn.variables["params"]["bias"]
         s = affine_act_scale(gamma, beta, self.act_bound_sigma)
-        if self.qat:
+        if self.qat and train:
             # same grid, float representation, gradients flow
             return fake_quant_ste(y, s), s
         y_q = quantize_int8(y, s)
         return y_q, s
 
 
-def _run_tower(blocks, x, quant):
+def _run_tower(blocks, x, quant, train: bool = False):
     """Run a stacked ConvGNBlock tower; under int8, intermediate blocks hand
     the next block a pre-quantized int8 tensor + static scale (see
-    ConvGNBlock) and only the LAST block materializes a float output."""
+    ConvGNBlock) and only the LAST block materializes a float output.
+    Under QAT training (block.qat and train) the inter-block tensor is the
+    STE fake-quantized float on the same grid instead."""
     if quant != "int8":
         for blk in blocks:
             x = blk(x)
@@ -113,7 +121,7 @@ def _run_tower(blocks, x, quant):
     scale = None
     for i, blk in enumerate(blocks):
         last = i == len(blocks) - 1
-        out = blk(x, scale, emit_int8=not last)
+        out = blk(x, scale, emit_int8=not last, train=train)
         if last:
             return out
         x, scale = out
@@ -171,13 +179,13 @@ class RADetHead(nn.Module):
         )
 
     def __call__(
-        self, feats: Sequence[jnp.ndarray]
+        self, feats: Sequence[jnp.ndarray], train: bool = False
     ) -> Tuple[List[jnp.ndarray], List[jnp.ndarray], List[jnp.ndarray]]:
         assert len(feats) == self.num_levels
         cls_out, reg_out, iou_out = [], [], []
         for lvl, x in enumerate(feats):
-            cls_feat = _run_tower(self.cls_convs, x, self.quant)
-            reg_feat = _run_tower(self.reg_convs, x, self.quant)
+            cls_feat = _run_tower(self.cls_convs, x, self.quant, train)
+            reg_feat = _run_tower(self.reg_convs, x, self.quant, train)
             cls_score = self.conv_cls(cls_feat).astype(jnp.float32)
             bbox_pred = self.conv_reg(reg_feat).astype(jnp.float32) * self.scales[lvl]
             # RADet applies ReLU on the reg output (radet_head.py:29)

@@ -191,7 +191,20 @@ def _bn_affine_stats(bn: FrozenAwareBN):
 
 
 def _stream_scale(stats):
-    """(mean bound, var) -> per-channel symmetric int8 scale, k-sigma rule."""
+    """(mean bound, var) -> per-channel symmetric int8 scale, k-sigma rule.
+
+    The stream is non-negative everywhere it is quantized (post-ReLU), so
+    symmetric [-127, 127] leaves half the code range unused.  Deliberate:
+    (a) XLA's conv requires matching input dtypes, so an unsigned [0, 255]
+    stream (uint8) cannot feed the int8-weight MXU conv; (b) an int8
+    zero-point encoding (q = round(x/s) - 128) would double resolution but
+    adds a `128 * conv(w, 1)` correction that is border-varying under zero
+    padding — a full-size constant map whose extra HBM read defeats the
+    point of quantizing these HBM-bound stages.  The measured stream-noise
+    envelope (~2.7x bf16 rounding, tests/test_int8_deploy.py) already prices
+    in the halved range; QAT (r50_ycbv_pbr_int8_qat.py) is the recovery
+    lever, not a finer grid.
+    """
     mean_b, var_b = stats
     return jnp.maximum(mean_b + _STREAM_K * jnp.sqrt(var_b), 1e-6) / 127.0
 
@@ -293,7 +306,7 @@ class Bottleneck(nn.Module):
         cout = self.planes * self.expansion
         if q8_stream:
             s_in = _stream_scale(stream)
-            out = _q8_conv(width, 1, 1, "conv1", qat=qat)(x, s_in)
+            out = _q8_conv(width, 1, 1, "conv1", qat=qat)(x, s_in, train=qat)
         else:
             out = _conv(width, 1, 1, name="conv1", dtype=self.dtype)(x)
         bn1 = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
@@ -302,7 +315,7 @@ class Bottleneck(nn.Module):
         if q8_c2:
             s1 = _bn_act_scale(bn1)
             out = _q8_conv(width, 3, self.stride, "conv2", self.groups, qat=qat)(
-                out if qat else quantize_int8(out, s1), s1
+                out if qat else quantize_int8(out, s1), s1, train=qat
             )
         else:
             out = _conv(width, 3, self.stride, name="conv2", dtype=self.dtype,
@@ -312,7 +325,7 @@ class Bottleneck(nn.Module):
         if q8_c3:
             s2 = _bn_act_scale(bn2)
             out = _q8_conv(cout, 1, 1, "conv3", qat=qat)(
-                out if qat else quantize_int8(out, s2), s2
+                out if qat else quantize_int8(out, s2), s2, train=qat
             )
         else:
             out = _conv(cout, 1, 1, name="conv3", dtype=self.dtype)(out)
@@ -323,7 +336,7 @@ class Bottleneck(nn.Module):
             if q8_stream:
                 # avg_down is gated out by ResNet (int8 avg-pool is inexact)
                 identity = _q8_conv(cout, 1, self.stride, "downsample_conv",
-                                    qat=qat)(x, s_in)
+                                    qat=qat)(x, s_in, train=qat)
             else:
                 ds_in = _avg_down(x, self.stride) if self.avg_down else x
                 identity = _conv(cout, 1, 1 if self.avg_down else self.stride,
@@ -536,7 +549,7 @@ class BasicBlock(nn.Module):
         if self.quant in ("int8", "int8_conv2") and ((not train) or qat):
             s1 = _bn_act_scale(bn1)
             out = _q8_conv(self.planes, 3, 1, "conv2", qat=qat)(
-                out if qat else quantize_int8(out, s1), s1
+                out if qat else quantize_int8(out, s1), s1, train=qat
             )
         else:
             out = _conv(self.planes, 3, 1, name="conv2", dtype=self.dtype)(out)

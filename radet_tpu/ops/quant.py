@@ -63,6 +63,20 @@ def affine_act_scale(gamma: jnp.ndarray, beta: jnp.ndarray, k: float = 8.0):
     return jnp.maximum(bound, 1e-6) / 127.0
 
 
+def _scale_fold(x_scale, cin, groups, features):
+    """Broadcastable (1, 1, cin, features) fold of per-input-channel
+    activation scales onto an HWIO kernel; for grouped convs,
+    kernel[:, :, i, o] consumes input channel g(o)*cin + i."""
+    if groups == 1:
+        return x_scale[None, None, :, None]
+    fpg = features // groups
+    s = x_scale.reshape(groups, cin).T  # (i, g)
+    return (
+        jnp.repeat(s[:, :, None], fpg, axis=-1)  # (i, g, j)
+        .reshape(cin, features)[None, None]
+    )
+
+
 class Int8Conv(nn.Module):
     """Int8-quantized conv with a float-conv-identical param tree.
 
@@ -89,36 +103,55 @@ class Int8Conv(nn.Module):
     # QAT mode: float conv over STE fake-quantized weight/input — the
     # forward sees exactly the deploy grid (same scales), gradients flow to
     # the float params (fake_quant_ste).  Input must be float here; the
-    # caller passes the SAME static scale deploy will use.
+    # caller passes the SAME static scale deploy will use.  Only active
+    # while TRAINING (``train=True`` at call time): at eval a qat module
+    # runs the true int8 deploy arithmetic, so in-training validation
+    # measures exactly what ships.
     qat: bool = False
 
     @nn.compact
-    def __call__(self, x, x_scale=None):
+    def __call__(self, x, x_scale=None, train: bool = False):
         kh, kw = self.kernel_size
         groups = self.feature_group_count
         cin = x.shape[-1] // groups
         kernel = self.param(
             "kernel", self.kernel_init, (kh, kw, cin, self.features), jnp.float32
         )
-        if self.qat:
+        if self.qat and train:
             assert x.dtype != jnp.int8, "QAT fake-quant consumes float inputs"
             xf = x.astype(jnp.float32)
             s_x = x_scale if x_scale is not None else (
                 jax.lax.stop_gradient(jnp.max(jnp.abs(xf))) / 127.0
             )
             x_fq = fake_quant_ste(xf, jnp.maximum(s_x, 1e-12))
-            k_fq = fake_quant_weight_ste(kernel)
+            if x_scale is not None and jnp.ndim(x_scale) == 1:
+                # deploy folds the per-channel activation scales into the
+                # kernel BEFORE quantizing it (below), so the deploy weight
+                # grid lives on the folded kernel — fake-quant the same
+                # folded kernel and unfold, making the QAT forward equal the
+                # deploy int8 arithmetic exactly (not just to an extra
+                # weight-rounding ~1/127)
+                fold = _scale_fold(x_scale, cin, groups, self.features)
+                k_fq = fake_quant_weight_ste(kernel * fold) / fold
+            else:
+                k_fq = fake_quant_weight_ste(kernel)
             dn = jax.lax.conv_dimension_numbers(
                 x.shape, kernel.shape, ("NHWC", "HWIO", "NHWC")
             )
+            # the conv itself runs f32: x_fq/k_fq sit exactly on the deploy
+            # int8 grid, and f32 accumulation of on-grid products matches the
+            # deploy int32 accumulation to rounding of the s_x*s_w products —
+            # a bf16 conv here would perturb the grid by ~2^-9 relative and
+            # break the "forward sees the deploy arithmetic" contract
+            # (tests/test_quant_ops.py pins the match)
             out = jax.lax.conv_general_dilated(
-                x_fq.astype(self.out_dtype),
-                k_fq.astype(self.out_dtype),
+                x_fq,
+                k_fq,
                 self.strides,
                 tuple(self.padding),
                 dimension_numbers=dn,
                 feature_group_count=groups,
-            ).astype(jnp.float32)
+            )
             if self.use_bias:
                 out = out + self.param(
                     "bias", self.bias_init, (self.features,), jnp.float32
@@ -131,17 +164,7 @@ class Int8Conv(nn.Module):
             # == sum_c (w[c,o]*s_c) * xq_c.  Zero runtime cost — the fold
             # happens on weights XLA constant-folds anyway — and the int8
             # input uses the full range in EVERY channel.
-            if groups == 1:
-                fold = x_scale[None, None, :, None]
-            else:
-                # kernel[:, :, i, o] consumes input channel g(o)*cin + i
-                fpg = self.features // groups
-                s = x_scale.reshape(groups, cin).T  # (i, g)
-                fold = (
-                    jnp.repeat(s[:, :, None], fpg, axis=-1)  # (i, g, j)
-                    .reshape(cin, self.features)[None, None]
-                )
-            kernel = kernel * fold
+            kernel = kernel * _scale_fold(x_scale, cin, groups, self.features)
             s_x = 1.0
             assert x.dtype == jnp.int8, "per-channel scales require int8 input"
             x_q = x

@@ -271,3 +271,139 @@ def test_trunk_int8_detection_delta_vs_bf16(calibrated_trunk):
         assert matched.mean() >= 0.75, (img, matched.mean())
         dscore = np.abs(fs[matched] - is_[best[matched]])
         assert dscore.max() <= 0.08, (img, float(dscore.max()))
+
+
+# ---------------------------------------------------------------------------
+# int8_stream (r50_ycbv_pbr_int8_stream.py): the residual stream itself is
+# carried as int8 with cross-block accumulated static bounds
+# (models/resnet.py::_bn_affine_stats / _stream_scale).  Same measurement
+# protocol and caveats as the trunk tests above: the meaningful stable
+# quantity on the chaotic random fixture is the noise RATIO vs bf16's own
+# rounding, not absolute deltas.  Measured here: stream 2.59-2.88x vs the
+# full-trunk variant's 1.47-1.69x — the "~2.7x vs ~1.7x" envelope the
+# config documents.
+# ---------------------------------------------------------------------------
+
+
+def test_trunk_int8_stream_noise_ratio(calibrated_trunk):
+    """Per level C2..C5, int8_stream's deviation from f32 is 2.0-3.3x the
+    bf16 trunk's own rounding deviation (measured 2.59-2.88x).  The upper
+    bound catches a regression in the accumulated stream bounds (a broken
+    quadrature accumulation measured >4x by layer3); the lower bound keeps
+    the documented '~2.7x' envelope honest — tighten the config claim if an
+    improvement lands."""
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import ResNet
+
+    variables, images = calibrated_trunk
+    bvars = {c: variables[c]["backbone"] for c in variables if "backbone" in variables[c]}
+    xin = jnp.asarray(images, jnp.float32)
+    of = ResNet(depth=50).apply(bvars, xin, train=False)
+    obf = ResNet(depth=50, dtype=jnp.bfloat16).apply(bvars, xin, train=False)
+    osq = ResNet(depth=50, quant="int8_stream").apply(bvars, xin, train=False)
+    for lvl, (a, b16, b8s) in enumerate(zip(of, obf, osq)):
+        a = np.asarray(a, np.float64)
+        scale = np.abs(a).mean() + 1e-9
+        rel16 = np.abs(a - np.asarray(b16, np.float64)).mean() / scale
+        rel8s = np.abs(a - np.asarray(b8s, np.float64)).mean() / scale
+        ratio = rel8s / rel16
+        assert 2.0 <= ratio <= 3.3, (lvl, ratio, rel8s, rel16)
+
+
+def test_stream_qat_forward_matches_deploy(calibrated_trunk):
+    """The QAT train-time forward (STE fake-quant, f32 convs) tracks the
+    int8_stream deploy forward: exact at the first stage (C2 rel < 2e-3;
+    the only difference is f32 vs int32 accumulation of on-grid products)
+    and within 1.6x of bf16's own rounding noise at every later stage (the
+    chaotic random fixture doubles ANY infinitesimal difference per block
+    — measured 0.33-1.35x; a true grid mismatch, e.g. the pre-fix bf16 QAT
+    conv, measured >3x at C2 alone)."""
+    import jax.numpy as jnp
+
+    from radet_tpu.models.resnet import ResNet
+
+    variables, images = calibrated_trunk
+    bvars = {c: variables[c]["backbone"] for c in variables if "backbone" in variables[c]}
+    xin = jnp.asarray(images, jnp.float32)
+    of = ResNet(depth=50).apply(bvars, xin, train=False)
+    obf = ResNet(depth=50, dtype=jnp.bfloat16).apply(bvars, xin, train=False)
+    odep = ResNet(depth=50, quant="int8_stream").apply(bvars, xin, train=False)
+    oqat = ResNet(depth=50, quant="int8_stream", qat=True, frozen_stages=-1).apply(
+        bvars, xin, train=True, mutable=["batch_stats"]
+    )[0]
+    for lvl, (a, b16, dep, qat) in enumerate(zip(of, obf, odep, oqat)):
+        dep = np.asarray(dep, np.float64)
+        scale = np.abs(dep).mean() + 1e-9
+        rel_qd = np.abs(dep - np.asarray(qat, np.float64)).mean() / scale
+        if lvl == 0:
+            assert rel_qd < 2e-3, rel_qd
+        a = np.asarray(a, np.float64)
+        rel16 = np.abs(a - np.asarray(b16, np.float64)).mean() / (
+            np.abs(a).mean() + 1e-9
+        )
+        assert rel_qd <= 1.6 * rel16, (lvl, rel_qd, rel16)
+
+
+def test_stream_detection_delta_vs_bf16(calibrated_trunk):
+    """int8_stream detections vs the bf16 deploy baseline on the calibrated
+    fixture: >=65% same-label matches at IoU>=0.5 with |dScore| <= 0.08
+    (measured 0.72-0.74 / 0.050 — looser than int8_full's 0.82, consistent
+    with the 2.7x-vs-1.7x noise envelope; see the chaotic-fixture note
+    above for why absolute AP is measured elsewhere)."""
+    import jax
+
+    from radet_tpu.core.anchors import generate_anchors
+    from radet_tpu.engine.train_step import build_infer_step
+    from radet_tpu.models import build_detector
+
+    variables, images = calibrated_trunk
+    anchors, _, _, counts = generate_anchors((IMG_H, IMG_W))
+    shapes = np.asarray([[IMG_H, IMG_W]] * 2, np.float32)
+    scales = np.ones((2, 4), np.float32)
+
+    dets = {}
+    for key, quant in (("bf16", None), ("stream", "int8_stream")):
+        cfg = _model_cfg("int8" if quant else None)
+        cfg["backbone"]["quant"] = quant
+        model = build_detector(cfg, dtype="bfloat16")
+        infer = build_infer_step(
+            model, anchors, counts, img_norm=IMG_NORM, test_cfg=TEST_CFG
+        )
+        dets[key] = jax.device_get(infer(variables, images, shapes, scales))
+
+    for img in range(2):
+        fb, fs, fl = _valid_rows(dets["bf16"], img)
+        ib, is_, il = _valid_rows(dets["stream"], img)
+        assert len(fb) >= 50, "degenerate fixture"
+        cand = np.where(fl[:, None] == il[None, :], _iou_matrix(fb, ib), 0.0)
+        best = cand.argmax(axis=1)
+        best_iou = cand[np.arange(len(fb)), best]
+        matched = best_iou >= 0.5
+        assert matched.mean() >= 0.65, (img, matched.mean())
+        dscore = np.abs(fs[matched] - is_[best[matched]])
+        assert dscore.max() <= 0.08, (img, float(dscore.max()))
+
+
+def test_stream_config_builds_and_is_qat_deployable():
+    """The shipped stream + QAT configs build; the QAT config's param tree is
+    identical to the float flagship (float ckpt loads directly, QAT output
+    deploys directly — the r50_ycbv_pbr_int8_qat.py contract)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radet_tpu.models import build_detector
+    from radet_tpu.utils import Config
+
+    cfg_s = Config.fromfile("configs/bop/r50_ycbv_pbr_int8_stream.py")
+    m_s = build_detector(cfg_s.model.to_dict(), dtype="bfloat16")
+    assert m_s.backbone_quant == "int8_stream" and m_s.head_quant == "int8"
+    cfg_q = Config.fromfile("configs/bop/r50_ycbv_pbr_int8_qat.py")
+    m_q = build_detector(cfg_q.model.to_dict(), dtype="bfloat16")
+    assert m_q.backbone_qat and m_q.head_qat
+    cfg_f = Config.fromfile("configs/bop/r50_ycbv_pbr.py")
+    m_f = build_detector(cfg_f.model.to_dict(), dtype="bfloat16")
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    v_f = m_f.init(jax.random.PRNGKey(0), x, train=False)
+    v_q = m_q.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v_f) == jax.tree_util.tree_structure(v_q)

@@ -36,6 +36,24 @@ def main():
     p.add_argument("--dtype", default="float32")
     p.add_argument("--workers", type=int, default=4)
     p.add_argument(
+        "--qat", action="store_true",
+        help="after the base eval, measure the QAT recovery loop end-to-end: "
+        "(a) PTQ-eval the float weights through the int8 deploy path (the "
+        "accuracy cost QAT is meant to recover), (b) fine-tune the SAME "
+        "weights with STE fake-quant at the deploy scales "
+        "(configs/bop/r50_ycbv_pbr_int8_qat.py recipe: frozen BN stats, "
+        "lr/10), (c) eval the fine-tuned weights through the SAME int8 "
+        "deploy path, and report how much of the PTQ delta QAT recovered.",
+    )
+    p.add_argument("--qat-iters", type=int, default=200,
+                   help="QAT fine-tune steps (default 200)")
+    p.add_argument(
+        "--qat-quant", default="auto",
+        help="backbone quant level for the QAT loop: int8_stream | int8 | "
+        "int8_conv2 | auto (int8_stream for bottleneck depths, int8 for "
+        "BasicBlock depths, matching the wiring in models/resnet.py)",
+    )
+    p.add_argument(
         "--int8-eval", action="store_true",
         help="after the base eval, re-evaluate the SAME trained weights "
         "through the full-int8 deploy path (backbone+head quant='int8', "
@@ -153,6 +171,72 @@ def main():
                 f"(delta mAP50 {metrics_q['bbox_mAP_50'] - map50:+.3f}, "
                 f"mAP {metrics_q['bbox_mAP'] - metrics['bbox_mAP']:+.3f})"
             )
+    if args.qat:
+        import copy
+
+        import jax as _jax
+
+        from radet_tpu.engine.checkpoint import save_weights
+
+        trunk_q = args.qat_quant
+        if trunk_q == "auto":
+            trunk_q = "int8_stream" if args.depth >= 50 else "int8"
+
+        def deploy_cfg():
+            c = copy.deepcopy(cfg_dict)
+            c["model"]["backbone"]["quant"] = trunk_q
+            c["model"]["bbox_head"]["quant"] = "int8"
+            return c
+
+        # (a) PTQ baseline: float weights straight through the deploy path
+        _, _, m_ptq = test_from_config(
+            Config(deploy_cfg()), variables, split="test", batch_size=args.batch
+        )
+        print(
+            f"RESULT ptq[{trunk_q}] mAP50={m_ptq['bbox_mAP_50']:.3f} "
+            f"mAP={m_ptq['bbox_mAP']:.3f} "
+            f"(delta vs float: mAP50 {m_ptq['bbox_mAP_50'] - map50:+.3f}, "
+            f"mAP {m_ptq['bbox_mAP'] - metrics['bbox_mAP']:+.3f})"
+        )
+
+        # (b) QAT fine-tune FROM the float weights: STE fake-quant at the
+        # deploy scales, frozen BN stats (the scales read them), lr/10 —
+        # the r50_ycbv_pbr_int8_qat.py recipe on the synthetic fixture
+        float_dir = osp.join(tmp, "float_weights")
+        save_weights(float_dir, variables)
+        cfg_q = deploy_cfg()
+        cfg_q["model"]["backbone"]["qat"] = True
+        cfg_q["model"]["backbone"]["norm_eval"] = True
+        cfg_q["model"]["bbox_head"]["qat"] = True
+        cfg_q["load_from"] = float_dir
+        cfg_q["optimizer"]["lr"] = args.lr / 10
+        cfg_q["lr_config"] = dict(
+            policy="onecycle", max_lr=args.lr / 10,
+            total_steps=args.qat_iters + 10, pct_start=0.1,
+        )
+        cfg_q["runner"] = dict(max_iters=args.qat_iters)
+        state_q = train_detector(
+            Config(cfg_q), work_dir=osp.join(tmp, "work_qat"),
+            eval_during_train=False,
+        )
+        vars_q = _jax.device_get(
+            {"params": state_q.params, "batch_stats": state_q.batch_stats}
+        )
+
+        # (c) deploy-eval the fine-tuned weights through the SAME int8 path
+        _, _, m_qat = test_from_config(
+            Config(deploy_cfg()), vars_q, split="test", batch_size=args.batch
+        )
+        d_ptq = m_qat["bbox_mAP"] - m_ptq["bbox_mAP"]
+        gap = metrics["bbox_mAP"] - m_ptq["bbox_mAP"]
+        rec = d_ptq / gap if abs(gap) > 1e-9 else float("nan")
+        print(
+            f"RESULT qat[{trunk_q}] mAP50={m_qat['bbox_mAP_50']:.3f} "
+            f"mAP={m_qat['bbox_mAP']:.3f} "
+            f"(vs ptq: mAP {d_ptq:+.3f}; recovered {rec:.0%} of the "
+            f"{-gap:+.3f} PTQ gap after {args.qat_iters} steps)"
+        )
+
     if map50 < args.min_map50:
         print(f"FAIL: mAP50 {map50:.3f} < {args.min_map50}")
         sys.exit(1)
