@@ -55,11 +55,33 @@ def max_iou_assign(
 
     Returns (assigned (N,) int32, max_overlaps (N,) f32).
     """
-    g = gt_boxes.shape[0]
-    n = bboxes.shape[0]
     overlaps = bbox_iou_pairwise(gt_boxes, bboxes)  # (G, N)
     overlaps = jnp.where(gt_valid[:, None], overlaps, -1.0)
+    return assign_wrt_overlaps(
+        overlaps,
+        gt_valid,
+        pos_iou_thr=pos_iou_thr,
+        neg_iou_thr=neg_iou_thr,
+        min_pos_iou=min_pos_iou,
+        gt_max_assign_all=gt_max_assign_all,
+        match_low_quality=match_low_quality,
+    )
 
+
+def assign_wrt_overlaps(
+    overlaps,  # (G, N) IoU, rows of invalid GTs already masked to -1
+    gt_valid,  # (G,) bool
+    *,
+    pos_iou_thr: float,
+    neg_iou_thr,
+    min_pos_iou: float = 0.0,
+    gt_max_assign_all: bool = True,
+    match_low_quality: bool = True,
+):
+    """The overlap->assignment core of MaxIoUAssigner, split out so
+    ApproxMaxIoUAssigner (overlaps pre-maxed over the approx set,
+    reference approx_max_iou_assigner.py:63-145) reuses it verbatim."""
+    g, n = overlaps.shape
     max_overlaps = overlaps.max(axis=0)  # (N,)
     argmax_overlaps = jnp.argmax(overlaps, axis=0)  # first max, like torch
 

@@ -52,6 +52,32 @@ def bbox_iou_pairwise(a, b, eps: float = EPS):
     return inter / jnp.maximum(union, eps)
 
 
+def bbox_giou_pairwise(a, b, eps: float = EPS):
+    """Pairwise GIoU: a (..., N, 4) x b (..., M, 4) -> (..., N, M)
+    (reference iou2d_calculator.py bbox_overlaps mode='giou')."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = bbox_area(a)[..., :, None] + bbox_area(b)[..., None, :] - inter
+    iou = inter / jnp.maximum(union, eps)
+    e_lt = jnp.minimum(a[..., :, None, :2], b[..., None, :, :2])
+    e_rb = jnp.maximum(a[..., :, None, 2:], b[..., None, :, 2:])
+    e_wh = jnp.clip(e_rb - e_lt, 0)
+    enclose = jnp.maximum(e_wh[..., 0] * e_wh[..., 1], eps)
+    return iou - (enclose - union) / enclose
+
+
+def bbox_iof_pairwise(a, b, eps: float = EPS):
+    """Pairwise intersection-over-foreground: intersection normalized by the
+    area of ``a`` (reference bbox_overlaps mode='iof')."""
+    lt = jnp.maximum(a[..., :, None, :2], b[..., None, :, :2])
+    rb = jnp.minimum(a[..., :, None, 2:], b[..., None, :, 2:])
+    wh = jnp.clip(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return inter / jnp.maximum(bbox_area(a)[..., :, None], eps)
+
+
 def xyxy_to_xywh(boxes):
     return jnp.stack(
         [
