@@ -152,22 +152,46 @@ def anchor_head_spec(cfg) -> Dict[str, Any]:
             # mmdet anchor_head.py:62-70: under a focal-family loss the head
             # hard-codes PseudoSampler and IGNORES train_cfg.sampler
             stype = "PseudoSampler"
-        assert stype in ("PseudoSampler", "RandomSampler"), (
-            f"sampler {stype!r}: PseudoSampler and RandomSampler are "
-            f"implemented (the RPN-style reachable surface); OHEM/"
-            f"IoUBalanced/InstanceBalanced/ScoreHLR/Combined need a "
-            f"two-stage RoI context absent from the reference "
-            f"(docs/PARITY.md)"
+        _samplers = (
+            "PseudoSampler", "RandomSampler", "OHEMSampler",
+            "IoUBalancedNegSampler", "InstanceBalancedPosSampler",
+            "ScoreHLRSampler", "CombinedSampler",
         )
-        if stype == "RandomSampler":
+        assert stype in _samplers, (
+            f"sampler {stype!r}: the full reference sampler zoo is "
+            f"implemented ({', '.join(_samplers)}) — core/sampler_cores.py"
+        )
+        if stype != "PseudoSampler":
             assert not sampler.get("add_gt_as_proposals", False), (
                 "add_gt_as_proposals injects GT boxes into an RoI proposal "
                 "list — meaningless for a dense anchor head"
             )
+            # sampler-specific options (core/sampler_cores.py::sample_with);
+            # CombinedSampler's nested pos/neg component dicts map to the
+            # core names (reference combined_sampler.py builds sub-samplers)
+            _component = {
+                "RandomSampler": "random",
+                "InstanceBalancedPosSampler": "instance_balanced",
+                "IoUBalancedNegSampler": "iou_balanced",
+                "OHEMSampler": "ohem",
+            }
+            extra = {
+                k: sampler[k]
+                for k in ("floor_thr", "floor_fraction", "num_bins",
+                          "score_thr", "iou_thr", "k", "bias")
+                if k in sampler
+            }
+            for side in ("pos_sampler", "neg_sampler"):
+                if side in sampler:
+                    sub = dict(sampler[side])
+                    extra[side] = _component[sub.pop("type")]
+                    extra.update(sub)
             loss_kwargs.update(
                 sampler_num=int(sampler.get("num", 256)),
                 sampler_pos_fraction=float(sampler.get("pos_fraction", 0.5)),
                 sampler_neg_pos_ub=float(sampler.get("neg_pos_ub", -1)),
+                sampler_type=stype,
+                sampler_extra=tuple(sorted(extra.items())),
             )
         loss_kwargs.update(
             pos_iou_thr=float(assigner.get("pos_iou_thr", 0.5)),

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 
@@ -194,11 +195,136 @@ def pseudo_decode(bboxes, pred_bboxes):
     return pred_bboxes
 
 
+def bbox_rescale(bboxes, scale_factor: float):
+    """Scale boxes about their centers (reference core/bbox/transforms.py
+    bbox_rescale, used by the bucketing coder)."""
+    c = (bboxes[..., :2] + bboxes[..., 2:]) * 0.5
+    half = (bboxes[..., 2:] - bboxes[..., :2]) * 0.5 * scale_factor
+    return jnp.concatenate([c - half, c + half], axis=-1)
+
+
+def _buckets(proposals, num_buckets: int, scale_factor: float):
+    """Per-side bucket center coordinates (reference
+    bucketing_bbox_coder.py::generat_buckets :95-141)."""
+    p = bbox_rescale(proposals, scale_factor)
+    side = int(np.ceil(num_buckets / 2.0))
+    pw = p[..., 2] - p[..., 0]
+    ph = p[..., 3] - p[..., 1]
+    bw = pw / num_buckets
+    bh = ph / num_buckets
+    off = 0.5 + jnp.arange(side, dtype=p.dtype)
+    l_b = p[..., 0, None] + off * bw[..., None]
+    r_b = p[..., 2, None] - off * bw[..., None]
+    t_b = p[..., 1, None] + off * bh[..., None]
+    d_b = p[..., 3, None] - off * bh[..., None]
+    return bw, bh, l_b, r_b, t_b, d_b
+
+
+def bucketing_encode(
+    proposals,  # (n, 4)
+    gt,  # (n, 4)
+    num_buckets: int,
+    scale_factor: float,
+    offset_topk: int = 2,
+    offset_upperbound: float = 1.0,
+    cls_ignore_neighbor: bool = True,
+):
+    """BucketingBBoxCoder.encode == bbox2bucket (reference
+    bucketing_bbox_coder.py:144-268): per side, the offset of every bucket
+    center to the GT edge (in bucket units), weights on the top-k nearest
+    buckets (k>=1 additionally gated by offset_upperbound), a one-hot
+    nearest-bucket label per side, and cls weights that ignore the
+    second-nearest bucket when ``cls_ignore_neighbor``.
+
+    Returns (offsets, offsets_weights, bucket_labels, cls_weights), each
+    (n, 4*side_num) in the reference's [l, r, t, d] concatenation order.
+    The reference's sequential top-k scatter loop (:216-235) becomes a
+    dense rank comparison: weight 1 on the k nearest buckets, with ranks
+    >= 1 gated by |offset| < upperbound — identical because torch's topk
+    indices are exactly the rank-< k set (ties broken by index, matched by
+    the argsort rank below).
+    """
+    bw, bh, l_b, r_b, t_b, d_b = _buckets(proposals, num_buckets, scale_factor)
+    side = int(np.ceil(num_buckets / 2.0))
+    offs = [
+        (l_b - gt[..., 0, None]) / bw[..., None],
+        (r_b - gt[..., 2, None]) / bw[..., None],
+        (t_b - gt[..., 1, None]) / bh[..., None],
+        (d_b - gt[..., 3, None]) / bh[..., None],
+    ]
+    w_parts, lab_parts, clsw_parts = [], [], []
+    for o in offs:
+        a = jnp.abs(o)
+        # rank of each bucket by |offset| (stable: ties -> lower index, the
+        # torch.topk sorted order)
+        order = jnp.argsort(a, axis=-1, stable=True)
+        rank = jnp.zeros_like(order).at[
+            jnp.arange(o.shape[0])[:, None], order
+        ].set(jnp.arange(side)[None, :].astype(order.dtype))
+        in_topk = rank < offset_topk
+        gated = (rank == 0) | (a < offset_upperbound)
+        w_parts.append((in_topk & gated).astype(o.dtype))
+        lab_parts.append((rank == 0).astype(o.dtype))
+        clsw = (a < 1.0).astype(o.dtype)
+        if cls_ignore_neighbor:
+            clsw = (~((clsw == 1) & (rank != 0))).astype(o.dtype)
+        else:
+            clsw = jnp.ones_like(clsw)
+        clsw_parts.append(clsw)
+    offsets = jnp.concatenate(offs, axis=-1)
+    offsets_weights = jnp.concatenate(w_parts, axis=-1)
+    bucket_labels = jnp.concatenate(lab_parts, axis=-1)
+    cls_weights = jnp.concatenate(clsw_parts, axis=-1)
+    return offsets, offsets_weights, bucket_labels, cls_weights
+
+
+def bucketing_decode(
+    proposals,  # (n, 4)
+    cls_preds,  # (n, 4*side_num) bucketing estimation logits
+    offset_preds,  # (n, 4*side_num) fine regression
+    num_buckets: int,
+    scale_factor: float = 1.0,
+    max_shape=None,
+    clip_border: bool = True,
+):
+    """BucketingBBoxCoder.decode == bucket2bbox (reference :271-350):
+    softmax-argmax picks the bucket per side, the matching fine offset
+    refines it, and the bucketing-guided rescore averages the per-side
+    top-1 confidence (+ top-2 when adjacent).  Returns (bboxes (n, 4),
+    loc_confidence (n,))."""
+    side = int(np.ceil(num_buckets / 2.0))
+    n = proposals.shape[0]
+    scores = jax.nn.softmax(cls_preds.reshape(n, 4, side), axis=-1)
+    top2, lab2 = jax.lax.top_k(scores, 2)  # (n, 4, 2)
+    best = lab2[..., 0]  # (n, 4)
+
+    bw, bh, l_b_, r_b_, t_b_, d_b_ = _buckets(proposals, num_buckets, scale_factor)
+    p = bbox_rescale(proposals, scale_factor)
+    units = jnp.stack([bw, bw, bh, bh], axis=-1)  # (n, 4)
+    starts = jnp.stack([p[:, 0], p[:, 2], p[:, 1], p[:, 3]], axis=-1)
+    signs = jnp.asarray([1.0, -1.0, 1.0, -1.0], proposals.dtype)
+    buckets = starts + signs * (0.5 + best.astype(proposals.dtype)) * units
+
+    offsets = offset_preds.reshape(n, 4, side)
+    picked = jnp.take_along_axis(offsets, best[..., None], axis=-1)[..., 0]
+    edges = buckets - picked * units  # (n, 4): x1, x2, y1, y2
+    x1, x2, y1, y2 = edges[:, 0], edges[:, 1], edges[:, 2], edges[:, 3]
+    if clip_border and max_shape is not None:
+        x1 = jnp.clip(x1, 0, max_shape[1] - 1)
+        x2 = jnp.clip(x2, 0, max_shape[1] - 1)
+        y1 = jnp.clip(y1, 0, max_shape[0] - 1)
+        y2 = jnp.clip(y2, 0, max_shape[0] - 1)
+    bboxes = jnp.stack([x1, y1, x2, y2], axis=-1)
+
+    loc_conf = top2[..., 0]
+    neighbor = jnp.abs(lab2[..., 0] - lab2[..., 1]) == 1
+    loc_conf = loc_conf + top2[..., 1] * neighbor.astype(loc_conf.dtype)
+    return bboxes, loc_conf.mean(axis=-1)
+
+
 def build_bbox_coder(cfg: dict):
     """Translate a reference bbox_coder config dict into (encode_fn,
-    decode_fn) closures over its parameters.  Fails fast on unimplemented
-    coder types (BucketingBBoxCoder — reachable only through SABL heads the
-    reference does not ship; see docs/PARITY.md)."""
+    decode_fn) closures over its parameters."""
     cfg = dict(cfg)
     ctype = cfg.pop("type", "DeltaXYWHBBoxCoder")
     if ctype == "TBLRBBoxCoder":
@@ -229,8 +355,24 @@ def build_bbox_coder(cfg: dict):
         )
     if ctype == "PseudoBBoxCoder":
         return pseudo_encode, pseudo_decode
+    if ctype == "BucketingBBoxCoder":
+        nb = int(cfg["num_buckets"])
+        sf = float(cfg["scale_factor"])
+        topk = int(cfg.get("offset_topk", 2))
+        ub = float(cfg.get("offset_upperbound", 1.0))
+        ign = bool(cfg.get("cls_ignore_neighbor", True))
+        clip = bool(cfg.get("clip_border", True))
+        return (
+            lambda a, g: bucketing_encode(a, g, nb, sf, topk, ub, ign),
+            lambda a, d, max_shape=None: bucketing_decode(
+                a, d[0], d[1], nb, sf, max_shape, clip
+            )
+            if isinstance(d, (tuple, list))
+            else (_ for _ in ()).throw(
+                TypeError("BucketingBBoxCoder.decode wants (cls, offset) preds")
+            ),
+        )
     raise KeyError(
         f"unsupported bbox_coder type {ctype!r} (implemented: TBLR, "
-        "DeltaXYWH, LegacyDeltaXYWH, YOLO, Pseudo; BucketingBBoxCoder is "
-        "reachable only via SABL heads absent from the reference too)"
+        "DeltaXYWH, LegacyDeltaXYWH, YOLO, Pseudo, Bucketing)"
     )

@@ -1,0 +1,442 @@
+"""The residual sampler zoo as static-shape mask ops (VERDICT r4 item 3).
+
+The reference ships five samplers beyond Pseudo/Random
+(/root/reference/radet/core/bbox/samplers/): OHEM, IoUBalancedNeg,
+InstanceBalancedPos, ScoreHLR, Combined.  Their *selection cores* are
+standalone (candidate masks + side information) -> (selected masks [+
+weights]) functions; the two-stage RoI context they expect in the reference
+(OHEM/ScoreHLR forward the RoI head to score candidates) is replaced by the
+caller passing the per-candidate loss/score directly — the selection math
+is transcribed exactly.
+
+All functions follow the ``random_sample_masks`` idiom
+(models/anchor_loss.py): uniform-without-replacement subsampling of a
+masked set == rank members by an i.i.d. uniform key (or by the relevant
+score) and keep ranks below a (possibly traced) quota.  One argsort per
+draw over the anchor axis; no dynamic shapes, no host round trips.
+Differential tests: tests/test_sampler_cores.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .box_ops import bbox_iou_pairwise
+
+INF = jnp.inf
+
+
+def _ranks_by(mask, key_values, descending=False):
+    """Rank of each member within ``mask`` under ``key_values`` order;
+    non-members get large ranks.  ``descending=True`` ranks the largest
+    value 0 (hard-example ordering)."""
+    n = mask.shape[-1]
+    v = key_values if descending else -key_values
+    order = jnp.argsort(-jnp.where(mask, v, -INF), stable=True)
+    return jnp.zeros((n,), jnp.int32).at[order].set(jnp.arange(n, dtype=jnp.int32))
+
+
+def _uniform_ranks(key, mask):
+    u = jax.random.uniform(key, mask.shape)
+    return _ranks_by(mask, u, descending=True)
+
+
+def ohem_sample_masks(pos, neg, loss, *, num, pos_fraction, neg_pos_ub=-1.0):
+    """OHEMSampler as masks, one image (reference ohem_sampler.py:30-107 +
+    base_sampler.py:59-103).
+
+    The reference forwards the RoI head on the candidates and keeps the
+    top-``num_expected`` by classification loss (hard_mining, :30-49),
+    separately for positives and negatives; when a set is under quota it is
+    kept whole.  Here ``loss`` is the per-anchor loss the caller already
+    computed (the dense one-stage path has it for free) — selection is the
+    deterministic loss-ranked top-k, so no rng is needed.
+    """
+    num_expected_pos = int(num * pos_fraction)
+    pos_s = pos & (_ranks_by(pos, loss, descending=True) < num_expected_pos)
+    num_sampled_pos = pos_s.sum()
+    num_expected_neg = num - num_sampled_pos
+    if neg_pos_ub >= 0:
+        cap = (neg_pos_ub * jnp.maximum(num_sampled_pos, 1)).astype(
+            num_expected_neg.dtype
+        )
+        num_expected_neg = jnp.minimum(num_expected_neg, cap)
+    neg_s = neg & (_ranks_by(neg, loss, descending=True) < num_expected_neg)
+    return pos_s, neg_s
+
+
+def iou_balanced_neg_masks(
+    key,
+    neg,
+    max_overlaps,
+    num_expected,
+    *,
+    floor_thr: float = -1.0,
+    floor_fraction: float = 0.0,
+    num_bins: int = 3,
+):
+    """IoUBalancedNegSampler._sample_neg as a mask (reference
+    iou_balanced_neg_sampler.py:96-157 + sample_via_interval :46-88).
+
+    Stages, exactly as the reference: (1) negatives split into a floor set
+    (IoU < floor_thr; empty when floor_thr == -1) and an IoU-sampling set;
+    (2) the IoU set is cut into ``num_bins`` equal IoU intervals over
+    [floor_thr, max_iou] and each bin contributes up to
+    ``int(quota/num_bins)`` uniform draws; (3) under-full bins are topped
+    up from the remaining IoU-set members; (4) the floor set fills up to
+    the total; (5) any remaining shortfall is topped up from all unsampled
+    negatives.  When the negative set is under quota it is kept whole.
+    Every stage is a rank-threshold draw, so the whole thing is a handful
+    of masked argsorts.
+    """
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    num_neg = neg.sum()
+    eff_floor = 0.0 if floor_thr < 0 else floor_thr
+    if floor_thr > 0:
+        floor_set = neg & (max_overlaps >= 0) & (max_overlaps < floor_thr)
+        iou_set = neg & (max_overlaps >= floor_thr)
+    elif floor_thr == 0:
+        floor_set = neg & (max_overlaps == 0)
+        iou_set = neg & (max_overlaps > 0)
+    else:
+        floor_set = jnp.zeros_like(neg)
+        iou_set = neg & (max_overlaps > floor_thr)
+
+    # num_expected may be a traced scalar (CombinedSampler quota arithmetic)
+    quota_iou = jnp.floor(num_expected * (1 - floor_fraction)).astype(jnp.int32)
+    max_iou = jnp.where(neg, max_overlaps, -INF).max()
+    if num_bins >= 2:
+        interval = (max_iou - eff_floor) / num_bins
+        per_bin = quota_iou // num_bins
+        bin_idx = jnp.where(
+            interval > 0,
+            jnp.floor((max_overlaps - eff_floor) / jnp.maximum(interval, 1e-12)),
+            0.0,
+        ).astype(jnp.int32)
+        # the reference's half-open bins [start, end) leave the max-IoU
+        # element in no bin (it equals the last bin's right edge)
+        in_bin = iou_set & (bin_idx >= 0) & (bin_idx < num_bins)
+        binned = jnp.zeros_like(neg)
+        for b in range(num_bins):
+            m = in_bin & (bin_idx == b)
+            binned = binned | (m & (_uniform_ranks(jax.random.fold_in(k1, b), m) < per_bin))
+        # stage 3: in-interval top-up from the rest of the IoU set
+        short = quota_iou - binned.sum()
+        extra_pool = iou_set & ~binned
+        iou_sel = binned | (extra_pool & (_uniform_ranks(k2, extra_pool) < short))
+    else:
+        iou_sel = iou_set & (_uniform_ranks(k2, iou_set) < quota_iou)
+    # the reference only samples the IoU set when it exceeds its quota;
+    # under quota it is kept whole (both covered by the rank threshold)
+    quota_floor = num_expected - iou_sel.sum()
+    floor_sel = floor_set & (_uniform_ranks(k3, floor_set) < quota_floor)
+    sel = iou_sel | floor_sel
+    # stage 5: global top-up from unsampled negatives
+    short = num_expected - sel.sum()
+    rest = neg & ~sel
+    sel = sel | (rest & (_uniform_ranks(k4, rest) < short))
+    # under-quota negatives: keep all (reference :104-106)
+    return jnp.where(num_neg <= num_expected, neg, sel)
+
+
+def instance_balanced_pos_masks(key, pos, assigned_gt, num_expected, *, max_gt):
+    """InstanceBalancedPosSampler._sample_pos as a mask (reference
+    instance_balanced_pos_sampler.py:14-55).
+
+    Equal per-GT quotas: ``num_per_gt = round(expected / num_gts) + 1``
+    (python banker's round, matched by jnp.round), uniform within each
+    GT's positives, then a global uniform top-up (when under) or uniform
+    down-sample (when over).  ``assigned_gt`` is the 1-based assignment
+    (0/-1 = not positive); ``max_gt`` bounds the group count statically.
+    """
+    k_groups, k_extra, k_down = jax.random.split(key, 3)
+    num_pos = pos.sum()
+    gidx = jnp.where(pos, assigned_gt - 1, max_gt)  # max_gt = dump slot
+    num_gts = jnp.maximum((jnp.zeros(max_gt + 1, jnp.int32).at[gidx].add(1)[:max_gt] > 0).sum(), 1)
+    num_per_gt = (jnp.round(num_expected / num_gts) + 1).astype(jnp.int32)
+
+    # rank within each GT group via one lexicographic sort: group-major,
+    # uniform-minor; rank_in_group = global rank - group start
+    u = jax.random.uniform(k_groups, pos.shape)
+    sortkey = jnp.where(pos, gidx.astype(jnp.float32) * 2.0 + u, INF)
+    order = jnp.argsort(sortkey, stable=True)
+    grank = jnp.zeros_like(gidx).at[order].set(
+        jnp.arange(pos.shape[-1], dtype=jnp.int32)
+    )
+    group_start = (
+        jnp.full((max_gt + 1,), jnp.iinfo(jnp.int32).max, jnp.int32)
+        .at[gidx]
+        .min(grank)
+    )
+    rank_in_group = grank - group_start[gidx]
+    sel = pos & (rank_in_group < num_per_gt)
+
+    # global top-up from unsampled positives
+    short = jnp.maximum(num_expected - sel.sum(), 0)
+    rest = pos & ~sel
+    sel_up = sel | (rest & (_uniform_ranks(k_extra, rest) < short))
+    # or uniform down-sample of the selected set to the quota
+    sel_down = sel & (_uniform_ranks(k_down, sel) < num_expected)
+    sel = jnp.where(sel.sum() < num_expected, sel_up, sel_down)
+    return jnp.where(num_pos <= num_expected, pos, sel)
+
+
+def nms_match_groups(boxes, scores, valid, iou_thr: float):
+    """mmcv.ops.nms_match as a dense group-id assignment (used by
+    ScoreHLRSampler step 3): greedy by descending score, each unmatched
+    box seeds a group and absorbs every unmatched box with IoU > thr.
+
+    Returns (group_seed (N,) int32: index of each box's group seed, rank
+    (N,) int32: the box's position within its group in score order).
+    Sequential greedy loop expressed as a lax.while_loop over seeds —
+    bounded by N but terminating after #groups iterations.
+    """
+    n = boxes.shape[0]
+    iou = bbox_iou_pairwise(boxes, boxes)
+    score_order = jnp.where(valid, scores, -INF)
+
+    def body(state):
+        group_seed, unmatched = state
+        seed = jnp.argmax(jnp.where(unmatched, score_order, -INF))
+        members = unmatched & (iou[seed] > iou_thr)
+        members = members | (jnp.arange(n) == seed)
+        members = members & unmatched
+        group_seed = jnp.where(members, seed, group_seed)
+        return group_seed, unmatched & ~members
+
+    def cond(state):
+        return state[1].any()
+
+    group_seed, _ = jax.lax.while_loop(
+        cond, body, (jnp.full((n,), -1, jnp.int32), valid)
+    )
+    # rank within group by descending score: count same-group members with
+    # strictly higher score (ties by lower index, the sort order mmcv gets)
+    same = group_seed[:, None] == group_seed[None, :]
+    higher = (score_order[None, :] > score_order[:, None]) | (
+        (score_order[None, :] == score_order[:, None])
+        & (jnp.arange(n)[None, :] < jnp.arange(n)[:, None])
+    )
+    rank = (same & higher & valid[None, :]).sum(axis=1).astype(jnp.int32)
+    return group_seed, rank
+
+
+def score_hlr_neg_masks(
+    key,
+    neg,
+    max_fg_score,
+    decoded_boxes,
+    num_expected,
+    *,
+    score_thr: float = 0.05,
+    iou_thr: float = 0.5,
+    k: float = 0.5,
+    bias: float = 0.0,
+):
+    """ScoreHLRSampler._sample_neg's selection + reweighting core
+    (reference score_hlr_sampler.py:100-216).
+
+    The reference forwards the RoI head to score each negative; here the
+    caller passes ``max_fg_score`` (max foreground probability) and
+    ``decoded_boxes`` per anchor.  Steps transcribed: valid = score >
+    score_thr; NMS-match groups the valid negatives (iou_thr); importance
+    = num_valid - rank_in_group + score; the top ``num_expected`` by
+    importance are selected (padded by uniform draws from the invalid
+    pool); label weights = (bias + (1-bias) * (up - imp_rank)/up) ** k for
+    the HLR part, the minimum weight for the random part.
+
+    Returns (selected (N,) bool, weights (N,) f32 — nonzero only on
+    selected; the reference's loss-sum normalization ratio is NOT applied
+    here because it needs the caller's per-sample losses: multiply by
+    ``ori_loss.sum() / (ori_loss * weights).sum()`` at the loss site to
+    reproduce it, reference :204-207).
+    """
+    k_rand, k_inv = jax.random.split(key)
+    n = neg.shape[-1]
+    valid = neg & (max_fg_score > score_thr)
+    invalid = neg & ~valid
+    num_valid = valid.sum()
+    num_neg = neg.sum()
+    num_exp = jnp.minimum(num_neg, num_expected)
+    num_hlr = jnp.minimum(num_valid, num_exp)
+
+    _, grank = nms_match_groups(decoded_boxes, max_fg_score, valid, iou_thr)
+    imp = jnp.where(
+        valid, num_valid.astype(jnp.float32) - grank + max_fg_score, -INF
+    )
+    # two-step HLR rank: imp_rank = rank of each valid member by imp desc
+    imp_rank = _ranks_by(valid, imp, descending=True)
+    hlr_sel = valid & (imp_rank < num_hlr)
+    rand_sel = invalid & (
+        _uniform_ranks(k_rand, invalid) < (num_exp - num_hlr)
+    )
+    selected = hlr_sel | rand_sel
+
+    up_bound = jnp.maximum(num_exp, num_valid).astype(jnp.float32)
+    imp_w = (up_bound - imp_rank.astype(jnp.float32)) / up_bound
+    min_w = jnp.where(num_hlr > 0, jnp.where(hlr_sel, imp_w, INF).min(), 1.0)
+    w = jnp.where(hlr_sel, imp_w, jnp.where(rand_sel, min_w, 0.0))
+    weights = jnp.where(selected, (bias + (1 - bias) * w) ** k, 0.0)
+    # all-invalid fallback: uniform draw, unit weights (reference :209-211)
+    fallback = invalid & (_uniform_ranks(k_inv, invalid) < num_exp)
+    weights = jnp.where(num_valid > 0, weights, fallback.astype(jnp.float32))
+    selected = jnp.where(num_valid > 0, selected, fallback)
+    return selected, weights
+
+
+def sample_with(
+    sampler_type: str,
+    key,
+    pos,
+    neg,
+    *,
+    num,
+    pos_fraction,
+    neg_pos_ub=-1.0,
+    per_loss=None,  # (N,) per-anchor current cls loss (OHEM ranking signal)
+    max_overlaps=None,  # (N,) assignment max IoU (IoUBalancedNeg)
+    assigned=None,  # (N,) 1-based assignment (InstanceBalancedPos)
+    max_gt: int = 0,
+    decoded_boxes=None,  # (N, 4) decoded predictions (ScoreHLR)
+    max_fg_score=None,  # (N,) max foreground sigmoid score (ScoreHLR)
+    extra=(),  # sampler-specific options as dict items
+):
+    """One-image sampler dispatch by reference class name — the registry
+    surface `apis/common.py` exposes through ``train_cfg.sampler.type``.
+
+    Composition mirrors the reference class hierarchy: IoUBalancedNeg and
+    InstanceBalancedPos subclass RandomSampler and override only one side
+    (iou_balanced_neg_sampler.py:8-36, instance_balanced_pos_sampler.py:9-13);
+    OHEM overrides both; ScoreHLR randomizes positives and returns negative
+    label weights.  Returns (pos_mask, neg_mask, neg_weights-or-None).
+    """
+    extra = dict(extra)
+    kp, kn = jax.random.split(key)
+    num_expected_pos = int(num * pos_fraction)
+
+    def quota_neg(pos_s):
+        num_sampled_pos = pos_s.sum()
+        q = num - num_sampled_pos
+        if neg_pos_ub >= 0:
+            cap = (neg_pos_ub * jnp.maximum(num_sampled_pos, 1)).astype(q.dtype)
+            q = jnp.minimum(q, cap)
+        return q
+
+    if sampler_type == "OHEMSampler":
+        assert per_loss is not None
+        return (*ohem_sample_masks(
+            pos, neg, per_loss, num=num, pos_fraction=pos_fraction,
+            neg_pos_ub=neg_pos_ub,
+        ), None)
+    if sampler_type == "IoUBalancedNegSampler":
+        assert max_overlaps is not None
+        pos_s = pos & (_uniform_ranks(kp, pos) < num_expected_pos)
+        neg_s = iou_balanced_neg_masks(
+            kn, neg, max_overlaps, quota_neg(pos_s),
+            floor_thr=float(extra.get("floor_thr", -1)),
+            floor_fraction=float(extra.get("floor_fraction", 0)),
+            num_bins=int(extra.get("num_bins", 3)),
+        )
+        return pos_s, neg_s, None
+    if sampler_type == "InstanceBalancedPosSampler":
+        assert assigned is not None and max_gt > 0
+        pos_s = instance_balanced_pos_masks(
+            kp, pos, assigned, num_expected_pos, max_gt=max_gt
+        )
+        neg_s = neg & (_uniform_ranks(kn, neg) < quota_neg(pos_s))
+        return pos_s, neg_s, None
+    if sampler_type == "ScoreHLRSampler":
+        assert max_fg_score is not None and decoded_boxes is not None
+        pos_s = pos & (_uniform_ranks(kp, pos) < num_expected_pos)
+        neg_s, w = score_hlr_neg_masks(
+            kn, neg, max_fg_score, decoded_boxes, quota_neg(pos_s),
+            score_thr=float(extra.get("score_thr", 0.05)),
+            iou_thr=float(extra.get("iou_thr", 0.5)),
+            k=float(extra.get("k", 0.5)),
+            bias=float(extra.get("bias", 0.0)),
+        )
+        if per_loss is not None:
+            # the reference's loss-sum-preserving normalization (:204-207)
+            ori = jnp.where(neg_s, per_loss, 0.0).sum()
+            new = (per_loss * w).sum()
+            w = w * jnp.where(new > 0, ori / jnp.maximum(new, 1e-12), 1.0)
+        return pos_s, neg_s, w
+    if sampler_type == "CombinedSampler":
+        pos_s, neg_s = combined_sample_masks(
+            key, pos, neg, num=num, pos_fraction=pos_fraction,
+            neg_pos_ub=neg_pos_ub,
+            pos_sampler=str(extra.get("pos_sampler", "instance_balanced")),
+            neg_sampler=str(extra.get("neg_sampler", "iou_balanced")),
+            assigned_gt=assigned, max_gt=max_gt, max_overlaps=max_overlaps,
+            loss=per_loss,
+            floor_thr=float(extra.get("floor_thr", -1)),
+            floor_fraction=float(extra.get("floor_fraction", 0)),
+            num_bins=int(extra.get("num_bins", 3)),
+        )
+        return pos_s, neg_s, None
+    raise ValueError(f"unknown sampler_type {sampler_type!r}")
+
+
+def combined_sample_masks(
+    key,
+    pos,
+    neg,
+    *,
+    num,
+    pos_fraction,
+    neg_pos_ub=-1.0,
+    pos_sampler="instance_balanced",
+    neg_sampler="iou_balanced",
+    # context for the component samplers
+    assigned_gt=None,
+    max_gt: int = 0,
+    max_overlaps=None,
+    loss=None,
+    floor_thr: float = -1.0,
+    floor_fraction: float = 0.0,
+    num_bins: int = 3,
+):
+    """CombinedSampler (reference combined_sampler.py:6-21 +
+    base_sampler.sample :59-103): independent positive and negative
+    component samplers under the shared quota arithmetic (pos quota =
+    int(num * pos_fraction); neg quota = num - sampled_pos, capped by
+    neg_pos_ub * max(sampled_pos, 1))."""
+    kp, kn = jax.random.split(key)
+    num_expected_pos = int(num * pos_fraction)
+    if pos_sampler == "instance_balanced":
+        assert assigned_gt is not None and max_gt > 0
+        pos_s = instance_balanced_pos_masks(
+            kp, pos, assigned_gt, num_expected_pos, max_gt=max_gt
+        )
+    elif pos_sampler == "random":
+        pos_s = pos & (_uniform_ranks(kp, pos) < num_expected_pos)
+    elif pos_sampler == "ohem":
+        assert loss is not None
+        pos_s = pos & (_ranks_by(pos, loss, descending=True) < num_expected_pos)
+    else:
+        raise ValueError(f"pos_sampler {pos_sampler!r}")
+
+    num_sampled_pos = pos_s.sum()
+    num_expected_neg = num - num_sampled_pos
+    if neg_pos_ub >= 0:
+        cap = (neg_pos_ub * jnp.maximum(num_sampled_pos, 1)).astype(
+            num_expected_neg.dtype
+        )
+        num_expected_neg = jnp.minimum(num_expected_neg, cap)
+
+    if neg_sampler == "iou_balanced":
+        assert max_overlaps is not None
+        neg_s = iou_balanced_neg_masks(
+            kn, neg, max_overlaps, num_expected_neg,
+            floor_thr=floor_thr, floor_fraction=floor_fraction,
+            num_bins=num_bins,
+        )
+    elif neg_sampler == "random":
+        neg_s = neg & (_uniform_ranks(kn, neg) < num_expected_neg)
+    elif neg_sampler == "ohem":
+        assert loss is not None
+        neg_s = neg & (_ranks_by(neg, loss, descending=True) < num_expected_neg)
+    else:
+        raise ValueError(f"neg_sampler {neg_sampler!r}")
+    return pos_s, neg_s

@@ -235,12 +235,17 @@ def anchor_head_loss(
     reg_decoded_bbox: bool = False,
     pos_weight: float = -1.0,
     valid_mask=None,
-    # RandomSampler (train_cfg.sampler; 0 = PseudoSampler, i.e. keep all).
+    # Sampler (train_cfg.sampler; num=0 = PseudoSampler, i.e. keep all).
     # mmdet only samples when ``sampling`` is True (non-focal loss_cls,
     # anchor_head.py:62-70) — enforced by apis.common.anchor_head_spec.
+    # sampler_type routes through the full zoo (core/sampler_cores.py):
+    # RandomSampler here; OHEM/IoUBalancedNeg/InstanceBalancedPos/ScoreHLR/
+    # Combined via sample_with, with sampler_extra carrying their options.
     sampler_num: int = 0,
     sampler_pos_fraction: float = 0.5,
     sampler_neg_pos_ub: float = -1.0,
+    sampler_type: str = "RandomSampler",
+    sampler_extra: tuple = (),
     rng=None,  # PRNGKey, required when sampler_num > 0
 ) -> Dict[str, jnp.ndarray]:
     """Dense AnchorHead loss (MaxIoU assignment + Pseudo/Random sampler).
@@ -254,7 +259,7 @@ def anchor_head_loss(
     """
     b, n, c = cls_flat.shape
 
-    assigned = jax.vmap(
+    assigned, max_overlaps = jax.vmap(
         lambda gb, gv: max_iou_assign(
             anchors,
             gb,
@@ -264,7 +269,7 @@ def anchor_head_loss(
             min_pos_iou=min_pos_iou,
             gt_max_assign_all=gt_max_assign_all,
             match_low_quality=match_low_quality,
-        )[0]
+        )
     )(gt_boxes, gt_valid)  # (B, N): -1 ignore / 0 neg / g+1 pos
 
     labels, target_boxes, pos = jax.vmap(
@@ -276,23 +281,56 @@ def anchor_head_loss(
         neg = neg & valid_mask[None]
 
     sampling = cls_loss not in ("FocalLoss", "GHMC", "QualityFocalLoss")
+    neg_weights = None
     if sampler_num > 0:
         assert sampling, (
-            "RandomSampler is only active for sampling losses (mmdet "
+            "samplers are only active for sampling losses (mmdet "
             "anchor_head.py:62-70 ignores train_cfg.sampler under FocalLoss)"
         )
-        assert rng is not None, "RandomSampler needs the step rng key"
-        pos, neg = jax.vmap(
-            lambda k, p, ng: random_sample_masks(
-                k, p, ng,
-                num=sampler_num,
-                pos_fraction=sampler_pos_fraction,
-                neg_pos_ub=sampler_neg_pos_ub,
+        assert rng is not None, "samplers need the step rng key"
+        if sampler_type == "RandomSampler":
+            pos, neg = jax.vmap(
+                lambda k, p, ng: random_sample_masks(
+                    k, p, ng,
+                    num=sampler_num,
+                    pos_fraction=sampler_pos_fraction,
+                    neg_pos_ub=sampler_neg_pos_ub,
+                )
+            )(jax.random.split(rng, b), pos, neg)
+        else:
+            from ..core.sampler_cores import sample_with
+
+            # per-anchor current sigmoid-CE loss: the OHEM/ScoreHLR ranking
+            # signal (the reference re-forwards its RoI head for this —
+            # the dense path has the logits in hand)
+            tgt = jax.nn.one_hot(labels, c, dtype=jnp.float32)  # bg -> zeros
+            x = cls_flat.astype(jnp.float32)
+            per_loss = jax.lax.stop_gradient(
+                (jnp.maximum(x, 0) - x * tgt + jnp.log1p(jnp.exp(-jnp.abs(x))))
+                .sum(-1)
             )
-        )(jax.random.split(rng, b), pos, neg)
+            max_fg = jax.lax.stop_gradient(
+                jax.nn.sigmoid(cls_flat.astype(jnp.float32)).max(-1)
+            )
+            decoded = jax.lax.stop_gradient(decode_fn(anchors[None], reg_flat))
+            max_gt = gt_boxes.shape[1]
+            pos, neg, neg_weights = jax.vmap(
+                lambda k, p, ng, pl, mo, a, db, mf: sample_with(
+                    sampler_type, k, p, ng,
+                    num=sampler_num,
+                    pos_fraction=sampler_pos_fraction,
+                    neg_pos_ub=sampler_neg_pos_ub,
+                    per_loss=pl, max_overlaps=mo, assigned=a, max_gt=max_gt,
+                    decoded_boxes=db, max_fg_score=mf, extra=sampler_extra,
+                )
+            )(
+                jax.random.split(rng, b), pos, neg, per_loss, max_overlaps,
+                assigned, decoded, max_fg,
+            )
 
     pw = 1.0 if pos_weight <= 0 else float(pos_weight)
-    label_weights = jnp.where(pos, pw, jnp.where(neg, 1.0, 0.0))
+    nw = 1.0 if neg_weights is None else neg_weights
+    label_weights = jnp.where(pos, pw, jnp.where(neg, nw, 0.0))
 
     num_pos_img = pos.sum(axis=1)
     num_neg_img = neg.sum(axis=1)
