@@ -942,6 +942,172 @@ class SampleDistanceAtAnchors:
         return results
 
 
+class SegRescale:
+    """Rescale semantic segmentation maps (reference transforms.py:746-776).
+
+    Operates on ``gt_semantic_seg`` when present (nearest-neighbor, the
+    label-preserving interpolation); the BOP task carries no semantic maps,
+    so on those pipelines this is a no-op — registered for config parity.
+    """
+
+    def __init__(self, scale_factor: float = 1.0, backend: str = "cv2"):
+        assert backend == "cv2", f"SegRescale backend {backend!r}: cv2 only"
+        self.scale_factor = float(scale_factor)
+
+    def __call__(self, results: Dict[str, Any]) -> Dict[str, Any]:
+        seg = results.get("gt_semantic_seg")
+        if seg is not None and self.scale_factor != 1:
+            # mmcv.imrescale with a float factor: new = int(dim * f + 0.5)
+            h, w = seg.shape[:2]
+            new_w = int(w * self.scale_factor + 0.5)
+            new_h = int(h * self.scale_factor + 0.5)
+            results["gt_semantic_seg"] = cv2.resize(
+                seg, (new_w, new_h), interpolation=cv2.INTER_NEAREST
+            )
+        return results
+
+
+class RandomCenterCropPad:
+    """CenterNet-style center crop + mean-pad (reference
+    transforms.py:1401-1730).
+
+    Train mode: pick ratio * crop_size as the output shape, choose a random
+    center inside the border-shrunk center range, paste the overlapping
+    region of the original image onto a mean-filled canvas with the two
+    centers aligned, keep boxes whose centers fall in the patch.  Test
+    mode: pad the original image around its center to ``logical_or`` /
+    ``size_divisor`` of ``test_pad_mode`` and record the border.  Bbox-only
+    (the reference raises NotImplementedError for masks/seg too).
+
+    Idiom notes: images here are uint8 RGB end-to-end (normalization is on
+    device), so ``mean``/``std``/``to_rgb`` — which the reference takes in
+    NORMALIZED units purely to synthesize the pad fill — are accepted in
+    0-255 units and the fill is the rounded mean pixel; to_rgb channel
+    reversal is meaningless for RGB-decoded images and must be omitted or
+    False.
+    """
+
+    def __init__(
+        self,
+        crop_size=None,
+        ratios=(0.9, 1.0, 1.1),
+        border: int = 128,
+        mean=None,
+        std=None,
+        to_rgb=None,
+        test_mode: bool = False,
+        test_pad_mode=("logical_or", 127),
+        bbox_clip_border: bool = True,
+    ):
+        if test_mode:
+            assert crop_size is None and ratios is None and border is None
+            assert test_pad_mode[0] in ("logical_or", "size_divisor")
+        else:
+            assert crop_size is not None and crop_size[0] > 0 and crop_size[1] > 0
+            assert test_pad_mode is None, "test_pad_mode is test-only"
+        assert not to_rgb, (
+            "RandomCenterCropPad(to_rgb=True): images are RGB here; the "
+            "reference's BGR mean-reversal does not apply"
+        )
+        self.crop_size = crop_size
+        self.ratios = ratios
+        self.border = border
+        self.mean = np.asarray(
+            mean if mean is not None else (0, 0, 0), np.float32
+        )
+        self.test_mode = test_mode
+        self.test_pad_mode = test_pad_mode
+        self.bbox_clip_border = bbox_clip_border
+
+    @staticmethod
+    def _get_border(border, size):
+        """Shrink the border until the center range is non-empty
+        (reference :1522-1538)."""
+        k = 2 * border / size
+        i = pow(2, np.ceil(np.log2(np.ceil(k))) + (k == int(k)))
+        return int(border // i)
+
+    def _paste(self, img, center, size):
+        """Mean-filled canvas of ``size`` with ``center`` of the original
+        aligned to the canvas center (reference :1556-1604)."""
+        cy, cx = center
+        th, tw = size
+        h, w = img.shape[:2]
+        x0, x1 = max(0, cx - tw // 2), min(cx + tw // 2, w)
+        y0, y1 = max(0, cy - th // 2), min(cy + th // 2, h)
+        patch = np.array((x0, y0, x1, y1))
+        left, right = cx - x0, x1 - cx
+        top, bottom = cy - y0, y1 - cy
+        ccy, ccx = th // 2, tw // 2
+        out = np.empty((th, tw, img.shape[2]), img.dtype)
+        out[:] = np.round(self.mean).astype(img.dtype)
+        out[ccy - top : ccy + bottom, ccx - left : ccx + right] = img[
+            y0:y1, x0:x1
+        ]
+        border = np.array(
+            [ccy - top, ccy + bottom, ccx - left, ccx + right], np.float32
+        )
+        return out, border, patch
+
+    def __call__(self, results: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        img = results["img"]
+        h, w = img.shape[:2]
+        if self.test_mode:
+            if self.test_pad_mode[0] == "logical_or":
+                th, tw = h | self.test_pad_mode[1], w | self.test_pad_mode[1]
+            else:
+                d = self.test_pad_mode[1]
+                th, tw = (h + d - 1) // d * d, (w + d - 1) // d * d
+            out, border, _ = self._paste(img, (h // 2, w // 2), (th, tw))
+            results["img"] = out
+            results["img_shape"] = (h, w)
+            results["pad_shape"] = (th, tw)
+            results["border"] = border
+            return results
+
+        boxes = results.get("gt_bboxes", np.zeros((0, 4), np.float32))
+        for _ in range(50):
+            scale = random.choice(self.ratios)
+            new_h = int(self.crop_size[0] * scale)
+            new_w = int(self.crop_size[1] * scale)
+            h_border = self._get_border(self.border, h)
+            w_border = self._get_border(self.border, w)
+            cx = random.randint(w_border, max(w - w_border - 1, w_border))
+            cy = random.randint(h_border, max(h - h_border - 1, h_border))
+            out, border, patch = self._paste(img, (cy, cx), (new_h, new_w))
+            centers = (boxes[:, :2] + boxes[:, 2:]) / 2
+            mask = (
+                (centers[:, 0] > patch[0])
+                & (centers[:, 1] > patch[1])
+                & (centers[:, 0] < patch[2])
+                & (centers[:, 1] < patch[3])
+            )
+            if not mask.any() and len(boxes) > 0:
+                continue
+            results["img"] = out
+            results["img_shape"] = (new_h, new_w)
+            results["pad_shape"] = (new_h, new_w)
+            x0, y0 = patch[0], patch[1]
+            shift_x = new_w // 2 - (cx - x0) - x0
+            shift_y = new_h // 2 - (cy - y0) - y0
+            b = boxes[mask] + np.array(
+                [shift_x, shift_y, shift_x, shift_y], np.float32
+            )
+            if self.bbox_clip_border:
+                b[:, 0::2] = b[:, 0::2].clip(0, new_w)
+                b[:, 1::2] = b[:, 1::2].clip(0, new_h)
+            keep = (b[:, 2] > b[:, 0]) & (b[:, 3] > b[:, 1])
+            results["gt_bboxes"] = b[keep]
+            if "gt_labels" in results:
+                results["gt_labels"] = results["gt_labels"][mask][keep]
+            assert "gt_masks" not in results or not len(results["gt_masks"]), (
+                "RandomCenterCropPad only supports bbox (reference "
+                "transforms.py:1664-1672 raises the same)"
+            )
+            return results
+        return None  # no valid crop found: loader resamples another image
+
+
 # ---------------------------------------------------------------------------
 # Pipeline builder
 # ---------------------------------------------------------------------------
@@ -968,6 +1134,8 @@ _TRANSFORMS = {
     "RandomSmooth": RandomSmooth,
     "GenerateDistanceMap": GenerateDistanceMap,
     "SampleDistanceAtAnchors": SampleDistanceAtAnchors,
+    "SegRescale": SegRescale,
+    "RandomCenterCropPad": RandomCenterCropPad,
 }
 
 from . import auto_augment as _auto_augment  # noqa: E402  (needs _TRANSFORMS above)

@@ -199,3 +199,111 @@ def test_min_visib_filtering(bop_root, tmp_path):
     )
     # all GTs ignored -> empty dataset after filtering
     assert len(ds) == 0
+
+
+# ---------------------------------------------------------------------------
+# SegRescale + RandomCenterCropPad (reference transforms.py:746-776,
+# 1401-1730) — the last two registered reference transforms
+# ---------------------------------------------------------------------------
+
+
+def test_seg_rescale():
+    from radet_tpu.data.pipeline import SegRescale
+
+    seg = np.arange(40 * 60, dtype=np.uint8).reshape(40, 60) % 5
+    out = SegRescale(scale_factor=0.5)({"gt_semantic_seg": seg.copy()})
+    assert out["gt_semantic_seg"].shape == (20, 30)
+    # nearest-neighbor: only original label values appear
+    assert set(np.unique(out["gt_semantic_seg"])) <= set(np.unique(seg))
+    # factor 1 and absent key are no-ops
+    out2 = SegRescale(scale_factor=1.0)({"gt_semantic_seg": seg.copy()})
+    np.testing.assert_array_equal(out2["gt_semantic_seg"], seg)
+    assert SegRescale(scale_factor=0.5)({"img": np.zeros((4, 4, 3))}) is not None
+
+
+def test_random_center_crop_pad_train():
+    from radet_tpu.data.pipeline import RandomCenterCropPad
+
+    rng = np.random.RandomState(0)
+    img = rng.randint(0, 255, (240, 320, 3), np.uint8)
+    boxes = np.asarray(
+        [[40, 50, 120, 140], [200, 100, 280, 200]], np.float32
+    )
+    labels = np.asarray([1, 2], np.int64)
+    t = RandomCenterCropPad(
+        crop_size=(192, 256), ratios=(0.8, 1.0, 1.2), border=64,
+        mean=[123.675, 116.28, 103.53], std=[58.395, 57.12, 57.375],
+        to_rgb=False, test_pad_mode=None,
+    )
+    import random as pyrandom
+
+    pyrandom.seed(3)
+    out = t({"img": img.copy(), "gt_bboxes": boxes.copy(),
+             "gt_labels": labels.copy(), "img_shape": (240, 320)})
+    assert out is not None
+    oh, ow = out["img_shape"]
+    assert (oh, ow) in [(int(192 * r), int(256 * r)) for r in (0.8, 1.0, 1.2)]
+    assert out["img"].shape[:2] == (oh, ow)
+    assert out["img"].dtype == np.uint8
+    b = out["gt_bboxes"]
+    assert len(b) >= 1 and len(out["gt_labels"]) == len(b)
+    assert (b[:, 0::2] >= 0).all() and (b[:, 0::2] <= ow).all()
+    assert (b[:, 1::2] >= 0).all() and (b[:, 1::2] <= oh).all()
+    # surviving boxes keep their size unless clipped at a border
+    assert ((b[:, 2] - b[:, 0]) > 0).all()
+
+
+def test_random_center_crop_pad_train_pastes_mean_fill():
+    from radet_tpu.data.pipeline import RandomCenterCropPad
+
+    img = np.full((100, 100, 3), 200, np.uint8)
+    t = RandomCenterCropPad(
+        crop_size=(300, 300), ratios=(1.0,), border=16,
+        mean=[10, 20, 30], std=[1, 1, 1], to_rgb=False, test_pad_mode=None,
+    )
+    out = t({"img": img, "gt_bboxes": np.asarray([[10, 10, 90, 90]], np.float32),
+             "gt_labels": np.asarray([0]), "img_shape": (100, 100)})
+    o = out["img"]
+    assert o.shape == (300, 300, 3)
+    # corners are pure mean fill (the 100x100 content cannot reach them)
+    np.testing.assert_array_equal(o[0, 0], [10, 20, 30])
+    assert (o == 200).all(axis=-1).sum() >= 90 * 90  # content pasted
+
+
+@pytest.mark.parametrize(
+    "mode,val,want", [("logical_or", 127, (255, 383)), ("size_divisor", 32, (224, 320))]
+)
+def test_random_center_crop_pad_test_mode(mode, val, want):
+    from radet_tpu.data.pipeline import RandomCenterCropPad
+
+    img = np.full((220, 300, 3), 7, np.uint8)
+    t = RandomCenterCropPad(
+        crop_size=None, ratios=None, border=None,
+        mean=[0, 0, 0], std=[1, 1, 1], to_rgb=False,
+        test_mode=True, test_pad_mode=(mode, val),
+    )
+    out = t({"img": img, "img_shape": (220, 300)})
+    assert out["img"].shape[:2] == want
+    assert out["pad_shape"] == want
+    assert out["img_shape"] == (220, 300)
+    assert "border" in out
+    # original content centered on the canvas
+    th, tw = want
+    cy, cx = th // 2, tw // 2
+    assert (out["img"][cy, cx] == 7).all()
+
+
+def test_new_transforms_config_buildable():
+    from radet_tpu.data.pipeline import build_pipeline
+
+    p = build_pipeline(
+        [
+            dict(type="SegRescale", scale_factor=0.5),
+            dict(
+                type="RandomCenterCropPad", crop_size=(128, 160),
+                ratios=(1.0,), border=32, mean=[0, 0, 0], std=[1, 1, 1],
+                to_rgb=False, test_pad_mode=None,
+            ),
+        ]
+    )
+    assert len(p.transforms) == 2
