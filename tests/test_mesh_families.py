@@ -49,6 +49,7 @@ def _atss_cfg(h, w):
     )
 
 
+@pytest.mark.slow
 def test_atss_train_step_dp_matches_single_device():
     from radet_tpu.apis.common import (
         anchor_head_spec,

@@ -91,8 +91,9 @@ def test_resnet_trunk_quant_param_tree_identical(quant):
     from radet_tpu.models.resnet import ResNet
 
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    v = ResNet(depth=18).init(jax.random.PRNGKey(0), x, train=False)
-    vq = ResNet(depth=18, quant=quant).init(jax.random.PRNGKey(0), x, train=False)
+    # eval_shape: abstract trace, no compile — the tree is what's under test
+    v = jax.eval_shape(ResNet(depth=18).init, jax.random.PRNGKey(0), x)
+    vq = jax.eval_shape(ResNet(depth=18, quant=quant).init, jax.random.PRNGKey(0), x)
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
     assert jax.tree_util.tree_map(lambda a: a.shape, v) == jax.tree_util.tree_map(
         lambda a: a.shape, vq
@@ -258,10 +259,11 @@ def test_radet_head_qat_train_grads_flow(rng):
 def test_resnet_stream_quant_param_tree_identical():
     from radet_tpu.models.resnet import ResNet
 
-    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
-    v = ResNet(depth=50).init(jax.random.PRNGKey(0), x, train=False)
-    vq = ResNet(depth=50, quant="int8_stream").init(
-        jax.random.PRNGKey(0), x, train=False)
+    x = jnp.zeros((1, 32, 32, 3), jnp.float32)
+    v = jax.eval_shape(ResNet(depth=50).init, jax.random.PRNGKey(0), x)
+    vq = jax.eval_shape(
+        ResNet(depth=50, quant="int8_stream").init, jax.random.PRNGKey(0), x
+    )
     assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
     assert jax.tree_util.tree_map(lambda a: a.shape, v) == jax.tree_util.tree_map(
         lambda a: a.shape, vq
