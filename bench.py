@@ -156,10 +156,13 @@ def main():
                 # + loss + bwd + AdamW, batch 16 bf16).  STATIC SNAPSHOT with
                 # an as-of stamp, not re-measured here: the train step's
                 # first compile takes ~10 min through the axon tunnel.
-                # Re-run tools/profile_train.py to refresh.
+                # Re-run tools/profile_train.py to refresh.  Component
+                # budget (same run): fwd 16.76 ms / loss 0.23 / assignment
+                # 2.03 / bwd+AdamW 24.92 — DESIGN.md 10 table.
                 train_measured=dict(
-                    img_s=364.7, step_ms=43.88, mfu=0.621,
-                    asof="2026-08-17 round 3",
+                    img_s=366.9, step_ms=43.61, mfu=0.624,
+                    asof="2026-08-20 round 5 (profile_train --step-only; "
+                         "component run same day: 43.95 ms, mfu 0.620)",
                 ),
                 provenance=(
                     "int8_*_img_s = same pipeline with the int8 deploy "
