@@ -1,0 +1,30 @@
+# Frozen-stage int8 TRAINING variant of the YCB-V flagship
+# (beyond-reference train-speed lever; models/resnet.py::ResNet.frozen_int8).
+#
+# The flagship recipe freezes stem+layer1 (frozen_stages=1,
+# reference resnet.py:573-584 — frozen means eval-mode modules +
+# stop_gradient + masked optimizer).  Those are exactly the stride-4
+# stages that are HBM-bandwidth-bound in the train forward
+# (docs/DESIGN.md 9/10: the forward runs at 0.54 of peak because of
+# them).  This config runs that frozen prefix with the int8_stream
+# DEPLOY arithmetic during training: frozen BN running stats give valid
+# static activation scales, no gradient ever traverses the rounding
+# (the stop_gradient boundary is downstream of every quantized op), and
+# the param tree is unchanged — checkpoints interchange freely with
+# r50_ycbv_pbr.py.
+#
+# What changes numerically: the trainable stages see frozen features
+# carrying the measured int8_stream noise envelope (~2.7x bf16's own
+# rounding per level, tests/test_int8_deploy.py) instead of bf16
+# features.  Eval/deploy runs the plain float path (the flag is
+# train-only); tests/test_frozen_int8.py pins the frozen-prefix
+# train forward == the int8_stream deploy forward exactly, and
+# tools/validate_learning.py --frozen-int8 measures the end-to-end
+# accuracy delta on the synthetic convergence fixture.
+_base_ = ["./r50_ycbv_pbr.py"]
+
+model = dict(
+    backbone=dict(
+        frozen_int8=True,
+    ),
+)

@@ -95,6 +95,19 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         assert head.get("quant") == "int8", "bbox_head.qat needs quant='int8'"
     if backbone.get("qat"):
         assert backbone.get("quant"), "backbone.qat needs a backbone.quant level"
+    if backbone.get("frozen_int8"):
+        assert backbone.get("quant") is None and not backbone.get("qat"), (
+            "backbone.frozen_int8 is the float-training lever; quant/qat "
+            "configs already quantize their own forward"
+        )
+        assert backbone.get("type", "ResNet") in ("ResNet", "ResNeXt"), (
+            "backbone.frozen_int8 reuses the int8_stream deploy path "
+            "(plain 7x7-stem Bottleneck trunks only)"
+        )
+        assert backbone.get("frozen_stages", 1) >= 0, (
+            "backbone.frozen_int8 quantizes the frozen prefix — it needs "
+            "frozen_stages >= 0"
+        )
     if det_type == "RADet":
         assert hspec["head_type"] == "RADetHead", (
             "detector type 'RADet' pairs with RADetHead (radet.py:19-32 "
@@ -164,6 +177,7 @@ def build_detector(model_cfg: Dict[str, Any], dtype: Any = None) -> RADet:
         with_cp=backbone.get("with_cp", False),
         backbone_quant=_backbone_quant(backbone, btype),
         backbone_qat=bool(backbone.get("qat", False)),
+        backbone_frozen_int8=bool(backbone.get("frozen_int8", False)),
         head_qat=bool(head.get("qat", False)),
         deep_stem=backbone.get("deep_stem", v1d),
         avg_down=backbone.get("avg_down", v1d),

@@ -60,6 +60,11 @@ class RADet(nn.Module):
     # / radet_head.RADetHead.qat) — set alongside the matching quant level
     backbone_qat: bool = False
     head_qat: bool = False
+    # train-time int8 for the FROZEN backbone stages (resnet.ResNet.
+    # frozen_int8): the stop_gradient'd stem+layerN prefix runs the
+    # int8_stream deploy arithmetic during training — a train-speed lever
+    # for the HBM-bound stride-4 stages; float configs only
+    backbone_frozen_int8: bool = False
     neck_type: str = "FPN"  # 'FPN' | 'ChannelMapper'
     neck_kernel_size: int = 3  # ChannelMapper only
     neck_with_relu: bool = True  # ChannelMapper only (act_cfg ReLU default)
@@ -120,6 +125,7 @@ class RADet(nn.Module):
             with_cp=self.with_cp,
             quant=self.backbone_quant,
             qat=self.backbone_qat,
+            frozen_int8=self.backbone_frozen_int8,
             dtype=self.dtype,
             name="backbone",
         )

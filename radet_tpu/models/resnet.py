@@ -700,6 +700,23 @@ class ResNet(nn.Module):
     # same static scales, so fine-tuning absorbs the quantization noise and
     # the int8-deployed weights lose no accuracy (ops/quant.py).
     qat: bool = False
+    # TRAIN-time int8 for the FROZEN stages (beyond-reference train-speed
+    # lever, off by default).  The flagship recipe freezes stem+layer1
+    # (frozen_stages=1) — exactly the stride-4 stages that are HBM-bound in
+    # the forward (docs/DESIGN.md 9/10) — and freezing already means
+    # "eval-mode modules + stop_gradient + masked optimizer" (the reference's
+    # _freeze_stages calls m.eval(), resnet.py:573-584).  With
+    # ``frozen_int8=True`` the frozen prefix runs the int8_stream DEPLOY
+    # arithmetic during training: frozen BN gives valid static scales, the
+    # stop_gradient boundary means no gradient ever traverses the rounding,
+    # and the param tree is unchanged (Int8Conv mirrors _conv).  The first
+    # trainable stage consumes the dequantized stream.  Feature noise is the
+    # measured stream envelope (~2.7x bf16's own rounding,
+    # tests/test_int8_deploy.py); eval runs the plain float path, and
+    # tests/test_frozen_int8.py pins train-forward == int8_stream-deploy
+    # equality on the frozen prefix.  Wired for the plain/ResNeXt Bottleneck
+    # stem+trunk (same envelope as quant='int8_stream').
+    frozen_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -727,6 +744,23 @@ class ResNet(nn.Module):
                 )
         qat = self.qat and train and self.quant is not None
         q8_stream = self.quant == "int8_stream" and ((not train) or qat)
+        # frozen-stage int8: active only while TRAINING a float config
+        fi8 = self.frozen_int8 and train and self.frozen_stages >= 0
+        if self.frozen_int8:
+            assert self.quant is None and not self.qat, (
+                "ResNet.frozen_int8 is the float-training lever; quant/qat "
+                "configs already define their own quantized arithmetic"
+            )
+            assert (block_kind == "bottleneck" and not self.deep_stem
+                    and not self.avg_down and self.scales == 1
+                    and self.radix == 0), (
+                "frozen_int8 reuses the int8_stream deploy path and is wired "
+                "for the plain/ResNeXt Bottleneck stem+trunk only"
+            )
+            assert self.norm_eval, (
+                "frozen_int8 derives static scales from frozen BN running "
+                "stats (norm_eval=True required)"
+            )
         block_cls = Bottleneck if block_kind == "bottleneck" else BasicBlock
         expansion = 4 if block_kind == "bottleneck" else 1
 
@@ -742,7 +776,7 @@ class ResNet(nn.Module):
             x = StemConvS2D(64, dtype=self.dtype, use_s2d=self.stem_s2d, name="conv1")(x)
             stem_bn = FrozenAwareBN(self.dtype, self.norm_eval, name="bn1")
             x = nn.relu(stem_bn(x, train))
-        if q8_stream and not qat:
+        if (q8_stream and not qat) or fi8:
             # quantize in the stem BN+ReLU epilogue; maxpool runs on int8
             # (exact — max commutes with the monotone quantization)
             stream = _bn_affine_stats(stem_bn)
@@ -760,6 +794,10 @@ class ResNet(nn.Module):
             # pad never wins the max.
             x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
+        if fi8 and self.frozen_stages == 0:
+            # only the stem is frozen: hand layer1 the dequantized stream
+            x = (x.astype(jnp.float32) * _stream_scale(stream)).astype(self.dtype)
+            stream = None
         if self.frozen_stages >= 0 and train:
             x = jax.lax.stop_gradient(x)
 
@@ -810,16 +848,33 @@ class ResNet(nn.Module):
                         groups=self.groups, width=width, avg_down=self.avg_down,
                         quant=self.quant, qat=self.qat, **common,
                     )(x, train, stream)
+                elif fi8 and stage_idx + 1 <= self.frozen_stages:
+                    # frozen block: run it in EVAL mode with the int8_stream
+                    # deploy arithmetic.  Freezing already means eval-mode
+                    # modules (reference _freeze_stages), and with norm_eval
+                    # the float paths are train/eval-identical — this branch
+                    # only swaps in the deploy int8 ops, upstream of the
+                    # stage-boundary stop_gradient.
+                    x, stream = remat(Bottleneck)(
+                        groups=self.groups, width=width, avg_down=False,
+                        quant="int8_stream", qat=False, **common,
+                    )(x, False, stream)
                 else:
                     x = remat(block_cls)(
                         groups=self.groups, width=width, avg_down=self.avg_down,
                         quant=self.quant, qat=self.qat, **common,
                     )(x, train)
                 channels = planes * expansion
+            if fi8 and stage_idx + 1 == self.frozen_stages:
+                # frozen/trainable boundary: the first trainable stage
+                # consumes the dequantized stream (float from here on)
+                x = (x.astype(jnp.float32) * _stream_scale(stream)).astype(self.dtype)
             if self.frozen_stages >= stage_idx + 1 and train:
                 x = jax.lax.stop_gradient(x)
             if stage_idx in self.out_indices:
-                if q8_stream and not qat:
+                if (q8_stream and not qat) or (
+                    fi8 and stage_idx + 1 < self.frozen_stages
+                ):
                     # dequantize only the pyramid taps the neck consumes
                     # (start_level=1 leaves C2 dead — XLA removes it)
                     outs.append(

@@ -45,6 +45,12 @@ def parse_args():
     p.add_argument("--trace-dir", default=None, help="write a jax.profiler trace here")
     p.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     p.add_argument(
+        "--frozen-int8", action="store_true",
+        help="backbone.frozen_int8: the frozen stem+layer1 runs the "
+        "int8_stream deploy arithmetic in the train forward "
+        "(configs/bop/r50_ycbv_pbr_frozen_int8.py)",
+    )
+    p.add_argument(
         "--step-only",
         action="store_true",
         help="time only the full train step (one compile instead of four; "
@@ -99,7 +105,8 @@ def main():
     model_cfg = dict(
         type="RADet",
         backbone=dict(
-            depth=args.depth, out_indices=(0, 1, 2, 3), frozen_stages=1, norm_eval=True
+            depth=args.depth, out_indices=(0, 1, 2, 3), frozen_stages=1,
+            norm_eval=True, frozen_int8=args.frozen_int8,
         ),
         neck=dict(out_channels=256, start_level=1, num_outs=5),
         bbox_head=dict(

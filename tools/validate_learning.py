@@ -54,6 +54,19 @@ def main():
         "BasicBlock depths, matching the wiring in models/resnet.py)",
     )
     p.add_argument(
+        "--frozen-int8", action="store_true",
+        help="A/B-measure frozen-stage int8 TRAINING "
+        "(configs/bop/r50_ycbv_pbr_frozen_int8.py; models/resnet.py::"
+        "ResNet.frozen_int8): fine-tune the converged float weights twice "
+        "with stem+layer1 frozen — once plain float, once with "
+        "frozen_int8=True — and report the mAP delta between the two "
+        "runs.  Fine-tuning from the base weights (fitted BN stats) "
+        "mirrors real usage: the static int8 scales read running stats, "
+        "which a from-scratch norm_eval run never fits.",
+    )
+    p.add_argument("--frozen-int8-iters", type=int, default=200,
+                   help="frozen-int8 A/B fine-tune steps (default 200)")
+    p.add_argument(
         "--int8-eval", action="store_true",
         help="after the base eval, re-evaluate the SAME trained weights "
         "through the full-int8 deploy path (backbone+head quant='int8', "
@@ -235,6 +248,61 @@ def main():
             f"mAP={m_qat['bbox_mAP']:.3f} "
             f"(vs ptq: mAP {d_ptq:+.3f}; recovered {rec:.0%} of the "
             f"{-gap:+.3f} PTQ gap after {args.qat_iters} steps)"
+        )
+
+    if args.frozen_int8:
+        import copy
+
+        import jax as _jax
+
+        from radet_tpu.engine.checkpoint import save_weights
+
+        assert args.depth >= 50, (
+            "--frozen-int8 reuses the int8_stream Bottleneck path: "
+            "run with --depth 50"
+        )
+        float_dir = osp.join(tmp, "float_weights_fi8")
+        save_weights(float_dir, variables)
+
+        def ab_cfg(fi8):
+            c = copy.deepcopy(cfg_dict)
+            c["model"]["backbone"]["frozen_stages"] = 1
+            c["model"]["backbone"]["norm_eval"] = True
+            if fi8:
+                c["model"]["backbone"]["frozen_int8"] = True
+            c["load_from"] = float_dir
+            c["lr_config"] = dict(
+                policy="onecycle", max_lr=args.lr,
+                total_steps=args.frozen_int8_iters + 10, pct_start=0.1,
+            )
+            c["runner"] = dict(max_iters=args.frozen_int8_iters)
+            return c
+
+        ab = {}
+        for tag, fi8 in (("frozen-float", False), ("frozen-int8", True)):
+            st = train_detector(
+                Config(ab_cfg(fi8)), work_dir=osp.join(tmp, f"work_{tag}"),
+                eval_during_train=False,
+            )
+            v = _jax.device_get(
+                {"params": st.params, "batch_stats": st.batch_stats}
+            )
+            # eval is the plain float path for BOTH arms (frozen_int8 is
+            # train-only; the deployed model is identical)
+            _, _, m = test_from_config(
+                Config(ab_cfg(False)), v, split="test", batch_size=args.batch
+            )
+            ab[tag] = m
+            print(
+                f"RESULT {tag} mAP50={m['bbox_mAP_50']:.3f} "
+                f"mAP={m['bbox_mAP']:.3f}"
+            )
+        d50 = ab["frozen-int8"]["bbox_mAP_50"] - ab["frozen-float"]["bbox_mAP_50"]
+        d = ab["frozen-int8"]["bbox_mAP"] - ab["frozen-float"]["bbox_mAP"]
+        print(
+            f"RESULT frozen-int8-delta mAP50={d50:+.3f} mAP={d:+.3f} "
+            f"(frozen_int8 training vs the identical frozen-float recipe, "
+            f"{args.frozen_int8_iters} fine-tune steps each)"
         )
 
     if map50 < args.min_map50:
