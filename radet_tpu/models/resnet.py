@@ -700,8 +700,12 @@ class ResNet(nn.Module):
     # same static scales, so fine-tuning absorbs the quantization noise and
     # the int8-deployed weights lose no accuracy (ops/quant.py).
     qat: bool = False
-    # TRAIN-time int8 for the FROZEN stages (beyond-reference train-speed
-    # lever, off by default).  The flagship recipe freezes stem+layer1
+    # TRAIN-time int8 for the FROZEN stages (beyond-reference option, off
+    # by default; measured SLOWER than bf16 at the flagship recipe's batch
+    # 16 — 46.8 vs 43.6 ms/step — because at train batch sizes the added
+    # quantize/dequantize traffic outweighs the halved bytes.  Kept as a
+    # tested option for truly bandwidth-saturated regimes; DESIGN.md 10/12).
+    # The flagship recipe freezes stem+layer1
     # (frozen_stages=1) — exactly the stride-4 stages that are HBM-bound in
     # the forward (docs/DESIGN.md 9/10) — and freezing already means
     # "eval-mode modules + stop_gradient + masked optimizer" (the reference's
