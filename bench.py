@@ -169,13 +169,14 @@ def main():
                     "family, ALL measured live this run (identical param "
                     "trees; deltas vs bf16 bounded in "
                     "tests/test_int8_deploy.py).  int8_head = tower only, "
-                    "the accuracy-safe deploy default (measured FREE: mAP50 "
-                    "+0.000, mAP -0.008).  int8_full = + backbone trunk "
-                    "convs (trained-network cost mAP50 -0.007 / strict-IoU "
-                    "mAP -0.054 — DESIGN.md 12).  int8_stream = every "
-                    "backbone HBM tensor int8 (noise ~2.7x bf16 rounding; "
-                    "QAT recipe r50_ycbv_pbr_int8_qat.py recovers the "
-                    "delta). "
+                    "the accuracy-safe deploy default (measured FREE: mAP "
+                    "+0.000 on the 256-image flagship-scale convergence "
+                    "fixture, float mAP 0.993).  int8_full = + backbone "
+                    "trunk convs (trained-network cost mAP50 -0.006 / "
+                    "strict-IoU mAP -0.018 on that fixture — DESIGN.md 12). "
+                    "int8_stream = every backbone HBM tensor int8 (PTQ mAP "
+                    "-0.053, 75% recovered by 300 QAT steps — "
+                    "r50_ycbv_pbr_int8_qat.py). "
                     "value = device-pipeline throughput (inputs staged on device; "
                     "readback = one checksum draining the dispatch queue). "
                     "host_inclusive_img_s includes per-batch host->device transfer "

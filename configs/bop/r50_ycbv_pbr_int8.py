@@ -11,8 +11,9 @@
 # at 2x the bf16 rate and the tower runs at 97% of bf16 MXU peak, making
 # this the inference throughput lever (bench.py measures both; the
 # detection delta vs bf16 is tightly bounded by tests/test_int8_deploy.py,
-# and measured FREE on a converged flagship-scale synthetic model: mAP50
-# +0.000, mAP -0.008 — tools/validate_learning.py --int8-eval).
+# and measured FREE on converged flagship-scale synthetic models: mAP
+# +0.000 on the 256-image fixture (float mAP 0.993), -0.008 on the
+# earlier 64-image one — tools/validate_learning.py --int8-eval).
 #
 # For the larger win (backbone trunk convs too — the HBM-bound stages) see
 # r50_ycbv_pbr_int8_full.py.

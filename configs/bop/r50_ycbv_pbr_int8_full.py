@@ -15,12 +15,14 @@
 # as bf16 rounding itself (~1.6x, pinned per-level by
 # tests/test_int8_deploy.py on the calibrated-stats parity fixture).  On a
 # TRAINED network it costs strict-IoU localization: `tools/
-# validate_learning.py --int8-eval` (train to convergence on a 64-image
-# synthetic BOP set at flagship scale, eval the same weights through each
-# variant) measures mAP50 -0.007 / mAP -0.054 for this full path (the
-# head-only part contributes -0.008 of that; conv2-only backbone.quant=
-# 'int8_conv2' sits between at mAP -0.037).  This variant trades ~0.05
-# strict-IoU mAP for +10% throughput over head-only — run
+# validate_learning.py --int8-eval` (256-image flagship-scale convergence
+# run, float mAP 0.993; eval the same weights through each variant)
+# measures mAP50 -0.006 / mAP -0.018 for this full path (head-only is
+# free at +0.000; conv2-only backbone.quant='int8_conv2' sits between at
+# mAP -0.010).  An earlier, less-converged 64-image fixture measured
+# -0.054 — the delta is fixture-dependent and shrinks as the float model
+# hardens.  This variant trades bounded strict-IoU mAP for +10%
+# throughput over head-only — run
 # tools/compare_ap.py against the bf16 config on your real validation
 # split before deploying (docs/PARITY_RUNBOOK.md), and fall back to
 # r50_ycbv_pbr_int8.py (measured-free: mAP50 +0.000, mAP -0.008) if the

@@ -7,8 +7,9 @@
 # and the norm affines the scales derive from are themselves fine-tuned.
 # Deploying the resulting checkpoint with quant='int8_stream' (and
 # qat removed) runs the arithmetic the network was trained under — the
-# standard recipe for recovering PTQ accuracy loss (the measured PTQ cost
-# of the full trunk is mAP -0.054; docs/DESIGN.md 12).
+# standard recipe for recovering PTQ accuracy loss (measured on the
+# 256-image flagship-scale fixture: full-stream PTQ costs mAP -0.053, and
+# 300 QAT steps recover 75% of it, mAP50 back to 1.000; docs/DESIGN.md 12).
 #
 # Usage: fine-tune FROM a converged float checkpoint —
 #   python tools/train.py configs/bop/r50_ycbv_pbr_int8_qat.py \
