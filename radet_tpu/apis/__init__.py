@@ -5,6 +5,7 @@ from .inference import (
     show_result,
     show_result_pyplot,
 )
+from .serving import BatchingDetector
 from .test import run_inference, evaluate_results
 from .train import train_detector
 
@@ -12,6 +13,7 @@ __all__ = [
     "init_detector",
     "inference_detector",
     "async_inference_detector",
+    "BatchingDetector",
     "show_result",
     "show_result_pyplot",
     "run_inference",

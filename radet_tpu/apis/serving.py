@@ -1,0 +1,191 @@
+"""Dynamic-batching inference serving (beyond-reference production path).
+
+The reference's deployment surface stops at ``inference_detector`` (one
+blocking call per image list, reference apis/inference.py:16-129).  On TPU
+the economical serving shape is different: the compiled step has a STATIC
+batch size, XLA dispatch is asynchronous (the host can stage batch k+1
+while the device runs batch k), and the chip only earns its keep when the
+batch is reasonably full.  ``BatchingDetector`` packages that into a
+production front-end:
+
+- callers submit single images from any thread and get a
+  ``concurrent.futures.Future`` back;
+- a dispatcher thread coalesces requests into the compiled batch size,
+  waiting at most ``max_latency_ms`` for a fuller batch (the
+  latency/throughput knob), and pads partial batches to the static shape
+  (pad rows are wasted compute, never wasted compilation);
+- a completion thread performs the blocking device→host readback and
+  resolves per-request futures, so readback of batch k overlaps the
+  dispatch of batch k+1 — the same double-buffering discipline as the
+  training input pipeline (data/loader.py) and bench.py's steady-state
+  measurement.
+
+Host-side preprocessing (decode/resize/pad to the static input size) runs
+in the SUBMITTING thread, keeping the dispatcher hot and letting a
+multi-threaded frontend scale the cv2 work across cores.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from typing import List, Optional
+
+import numpy as np
+
+from .inference import Detector, _check_weights, _gather_results, _prepare_batch
+
+__all__ = ["BatchingDetector"]
+
+_SENTINEL = object()
+
+
+class BatchingDetector:
+    """Dynamic-batching wrapper around a :class:`Detector` handle.
+
+    Args:
+        detector: a weighted Detector (``init_detector(...)``).
+        batch_size: the compiled serving batch.  One XLA program is traced
+            for exactly this shape; throughput saturates around 64-128 on
+            v5e (bench.py), latency-sensitive deployments use 8-16.
+        max_latency_ms: how long the dispatcher waits for more requests
+            before running a partial batch.  0 = run whatever is queued
+            immediately.
+    """
+
+    def __init__(self, detector: Detector, batch_size: int = 16,
+                 max_latency_ms: float = 5.0):
+        _check_weights(detector)
+        self._det = detector
+        self._batch = int(batch_size)
+        self._max_latency = float(max_latency_ms) / 1e3
+        self._queue: "queue.Queue" = queue.Queue()
+        self._done: "queue.Queue" = queue.Queue()
+        self._closed = False
+        self._lock = threading.Lock()
+        self._batches = 0
+        self._requests = 0
+        h, w = detector.input_size
+        self._pad_img = np.zeros((h, w, 3), np.uint8)
+        self._pad_shape = np.asarray([h, w], np.float32)
+        self._pad_scale = np.ones(4, np.float32)
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="radet-serve-dispatch", daemon=True
+        )
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="radet-serve-complete", daemon=True
+        )
+        self._dispatcher.start()
+        self._completer.start()
+
+    # ---- public api -------------------------------------------------------
+
+    def submit(self, img) -> Future:
+        """Enqueue one image (path or RGB uint8 ndarray); returns a Future
+        resolving to {boxes, scores, labels} in original-image coords."""
+        if self._closed:
+            raise RuntimeError("BatchingDetector is closed")
+        # preprocess in the caller's thread (see module docstring)
+        imgs, shapes, scales = _prepare_batch(self._det, [img])
+        fut: Future = Future()
+        self._queue.put((imgs[0], shapes[0], scales[0], fut))
+        return fut
+
+    def detect(self, img, timeout: Optional[float] = None):
+        """Synchronous convenience: submit + wait."""
+        return self.submit(img).result(timeout=timeout)
+
+    def stats(self) -> dict:
+        """Serving counters: requests seen, device batches run, fill rate."""
+        with self._lock:
+            b, r = self._batches, self._requests
+        return dict(
+            requests=r, batches=b,
+            fill=r / (b * self._batch) if b else 0.0,
+            batch_size=self._batch,
+        )
+
+    def close(self, timeout: float = 30.0) -> None:
+        """Stop accepting work, drain queued requests, join the threads."""
+        if self._closed:
+            return
+        self._closed = True
+        self._queue.put(_SENTINEL)
+        self._dispatcher.join(timeout=timeout)
+        self._completer.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- worker threads ---------------------------------------------------
+
+    def _collect(self) -> Optional[List]:
+        """Block for the first request, then drain up to batch_size within
+        the latency budget.  Returns None on shutdown."""
+        import time
+
+        first = self._queue.get()
+        if first is _SENTINEL:
+            return None
+        reqs = [first]
+        deadline = time.monotonic() + self._max_latency
+        while len(reqs) < self._batch:
+            remaining = deadline - time.monotonic()
+            try:
+                item = (
+                    self._queue.get_nowait()
+                    if remaining <= 0
+                    else self._queue.get(timeout=remaining)
+                )
+            except queue.Empty:
+                break
+            if item is _SENTINEL:
+                # propagate shutdown after this batch completes
+                self._queue.put(_SENTINEL)
+                break
+            reqs.append(item)
+        return reqs
+
+    def _dispatch_loop(self) -> None:
+        while True:
+            reqs = self._collect()
+            if reqs is None:
+                self._done.put(_SENTINEL)
+                return
+            n = len(reqs)
+            pad = self._batch - n
+            imgs = np.stack([r[0] for r in reqs] + [self._pad_img] * pad)
+            shapes = np.stack([r[1] for r in reqs] + [self._pad_shape] * pad)
+            scales = np.stack([r[2] for r in reqs] + [self._pad_scale] * pad)
+            futs = [r[3] for r in reqs]
+            try:
+                # async dispatch: returns device futures; the blocking
+                # readback happens on the completion thread
+                det = self._det._infer(self._det.variables, imgs, shapes, scales)
+            except Exception as e:  # compile/dispatch failure
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            with self._lock:
+                self._batches += 1
+                self._requests += n
+            self._done.put((det, futs))
+
+    def _complete_loop(self) -> None:
+        while True:
+            item = self._done.get()
+            if item is _SENTINEL:
+                return
+            det, futs = item
+            try:
+                results = _gather_results(det, len(futs))
+            except Exception as e:  # device-side failure surfaces at readback
+                for f in futs:
+                    f.set_exception(e)
+                continue
+            for f, res in zip(futs, results):
+                f.set_result(res)
