@@ -621,7 +621,9 @@ class TorchDetectoRSResNet(tnn.Module):
 
 @pytest.mark.parametrize(
     "groups,base_width",
-    [pytest.param(1, 4, marks=pytest.mark.slow), (32, 4)],
+    # the grouped (ResNeXt) variant is the heavier CPU compile — it lives in
+    # the slow suite; the plain variant keeps SAC parity in the fast suite
+    [(1, 4), pytest.param(32, 4, marks=pytest.mark.slow)],
 )
 def test_detectors_resnet_sac_parity(rng, groups, base_width):
     """groups=1: DetectoRS_ResNet; groups=32: DetectoRS_ResNeXt 32x4d

@@ -42,6 +42,7 @@ def test_with_cp_matches_plain_gradients():
         assert np.abs(a - b).max() / scale < 1e-4
 
 
+@pytest.mark.slow
 def test_with_cp_builder_and_eval_forward():
     from radet_tpu.models import build_detector
 

@@ -146,6 +146,7 @@ def test_with_nms_false_and_min_bbox_size():
     assert np.asarray(det3.valid).sum() == 1
 
 
+@pytest.mark.slow
 def test_browse_dataset_with_assignment_overlay(tmp_path):
     """browse_dataset renders pipeline output with distance + sampled-positive
     overlays (the reference label_assignment debug() harness)."""
