@@ -23,6 +23,14 @@ production front-end:
 Host-side preprocessing (decode/resize/pad to the static input size) runs
 in the SUBMITTING thread, keeping the dispatcher hot and letting a
 multi-threaded frontend scale the cv2 work across cores.
+
+Measured (flagship r50 480x640, batch 64, 8 submitter threads, 512
+requests): 32 req/s at 0.80 batch fill on the 1-core dev harness — that
+number is the harness's ~19 MB/s host->device relay staging the ~59 MB
+uint8 batch, not the serving stack: a real TPU host's PCIe moves that
+batch in ~5 ms, putting the ceiling at the device-pipeline rate bench.py
+measures (~1000 img/s bf16 / ~1470 int8_stream).  Same host-link caveat
+as bench.py's ``host_inclusive_img_s`` provenance.
 """
 
 from __future__ import annotations
