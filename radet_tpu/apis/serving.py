@@ -162,6 +162,15 @@ class BatchingDetector:
         while True:
             reqs = self._collect()
             if reqs is None:
+                # a submit() racing close() may have enqueued behind the
+                # sentinel — cancel stragglers so no future hangs forever
+                while True:
+                    try:
+                        item = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    if item is not _SENTINEL:
+                        item[3].cancel()
                 self._done.put(_SENTINEL)
                 return
             n = len(reqs)
