@@ -96,8 +96,23 @@ class BatchingDetector:
             raise RuntimeError("BatchingDetector is closed")
         # preprocess in the caller's thread (see module docstring)
         imgs, shapes, scales = _prepare_batch(self._det, [img])
+        # reject mis-shaped inputs HERE, in the caller's thread — a
+        # grayscale/RGBA array would otherwise blow up the dispatcher's
+        # np.stack and wedge the whole server (review finding)
+        if imgs[0].shape != self._pad_img.shape:
+            raise ValueError(
+                f"expected an RGB (H, W, 3) image; preprocessing produced "
+                f"{imgs[0].shape} (static input {self._pad_img.shape})"
+            )
         fut: Future = Future()
-        self._queue.put((imgs[0], shapes[0], scales[0], fut))
+        # the closed-check + put are atomic against close(): either this
+        # request lands BEFORE the shutdown sentinel (FIFO -> processed)
+        # or the submit raises — no future can be enqueued behind the
+        # drain and hang its caller (review finding)
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("BatchingDetector is closed")
+            self._queue.put((imgs[0], shapes[0], scales[0], fut))
         return fut
 
     def detect(self, img, timeout: Optional[float] = None):
@@ -115,13 +130,28 @@ class BatchingDetector:
         )
 
     def close(self, timeout: float = 30.0) -> None:
-        """Stop accepting work, drain queued requests, join the threads."""
-        if self._closed:
+        """Stop accepting work, drain queued requests, join the threads.
+
+        Raises RuntimeError if the workers fail to drain within ``timeout``
+        (e.g. a wedged device call) — a silent return would strand callers
+        blocked on pending futures (review finding).
+        """
+        with self._lock:
+            if self._closed:
+                already = True
+            else:
+                already = False
+                self._closed = True
+                self._queue.put(_SENTINEL)
+        if already:
             return
-        self._closed = True
-        self._queue.put(_SENTINEL)
         self._dispatcher.join(timeout=timeout)
         self._completer.join(timeout=timeout)
+        if self._dispatcher.is_alive() or self._completer.is_alive():
+            raise RuntimeError(
+                f"BatchingDetector workers did not drain within {timeout}s "
+                "(device call wedged?); pending futures remain unresolved"
+            )
 
     def __enter__(self):
         return self
@@ -175,15 +205,16 @@ class BatchingDetector:
                 return
             n = len(reqs)
             pad = self._batch - n
-            imgs = np.stack([r[0] for r in reqs] + [self._pad_img] * pad)
-            shapes = np.stack([r[1] for r in reqs] + [self._pad_shape] * pad)
-            scales = np.stack([r[2] for r in reqs] + [self._pad_scale] * pad)
             futs = [r[3] for r in reqs]
             try:
+                imgs = np.stack([r[0] for r in reqs] + [self._pad_img] * pad)
+                shapes = np.stack([r[1] for r in reqs] + [self._pad_shape] * pad)
+                scales = np.stack([r[2] for r in reqs] + [self._pad_scale] * pad)
                 # async dispatch: returns device futures; the blocking
                 # readback happens on the completion thread
                 det = self._det._infer(self._det.variables, imgs, shapes, scales)
-            except Exception as e:  # compile/dispatch failure
+            except Exception as e:  # assembly/compile/dispatch failure —
+                # fail THIS batch's futures, keep the dispatcher alive
                 for f in futs:
                     f.set_exception(e)
                 continue

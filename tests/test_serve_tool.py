@@ -84,6 +84,20 @@ def test_serve_handler_detect_health_stats():
             assert False, "expected 404"
         except urllib.error.HTTPError as e:
             assert e.code == 404
+
+        # keep-alive hygiene: a POST to an unknown path (body included) must
+        # not corrupt the persistent connection for the next request
+        import http.client
+
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+        conn.request("POST", "/wrong", body=b"0123456789")
+        r1 = conn.getresponse()
+        assert r1.status == 404
+        r1.read()
+        conn.request("GET", "/healthz")
+        r2 = conn.getresponse()
+        assert r2.status == 200 and json.loads(r2.read()) == {"ok": True}
+        conn.close()
     finally:
         server.shutdown()
         server.server_close()

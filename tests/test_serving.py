@@ -119,6 +119,13 @@ def test_close_rejects_new_work():
     # a request through the stub resolves with the padded static batch
     out = srv.detect(np.zeros((64, 80, 3), np.uint8), timeout=30)
     assert set(out) == {"boxes", "scores", "labels"} and calls == [(2, 64, 80, 3)]
+    # mis-shaped input fails in the CALLER's thread, not the dispatcher
+    # (a grayscale array reaching np.stack would wedge the server)
+    with pytest.raises(ValueError, match="RGB"):
+        srv.submit(np.zeros((64, 80), np.uint8))
+    # ...and the dispatcher is still alive afterwards
+    out2 = srv.detect(np.zeros((64, 80, 3), np.uint8), timeout=30)
+    assert set(out2) == {"boxes", "scores", "labels"}
     srv.close()
     with pytest.raises(RuntimeError, match="closed"):
         srv.submit(_imgs(1, hw=(64, 80))[0])

@@ -58,11 +58,14 @@ def make_handler(batcher, classes=(), timeout_s: float = 120.0):
             return self._json(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
+            # read the body FIRST: under HTTP/1.1 keep-alive an unread body
+            # would be parsed as the next request line, corrupting the
+            # connection for well-formed follow-ups (review finding)
+            length = int(self.headers.get("Content-Length", 0))
+            raw = self.rfile.read(length)
             if self.path != "/detect":
                 return self._json(404, {"error": f"unknown path {self.path}"})
             try:
-                length = int(self.headers.get("Content-Length", 0))
-                raw = self.rfile.read(length)
                 import cv2
                 import numpy as np
 
