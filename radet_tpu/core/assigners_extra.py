@@ -95,7 +95,12 @@ def grid_assign(
     ).max(axis=0)
     assigned = jnp.where(claim_idx > 0, claim_idx, assigned)
     assigned = jnp.where(gt_valid.any(), assigned, 0)
-    return assigned, jnp.maximum(max_overlaps, 0.0)
+    # the returned overlaps are the RESPONSIBILITY-MASKED max — the
+    # reference recomputes max_overlaps after `overlaps[:, ~resp] = -1`
+    # (grid_assigner.py:118-122) and that is what AssignResult carries
+    # (downstream consumers like IoU-balanced binning see -1 for
+    # non-responsible anchors); zero-GT images return zeros (:82-84)
+    return assigned, jnp.where(gt_valid.any(), max_m, 0.0)
 
 
 # ---------------------------------------------------------------------------
@@ -169,11 +174,9 @@ def point_assign(
 # ---------------------------------------------------------------------------
 
 
-def scale_boxes(bboxes, scale: float):
-    """Scale boxes about their centers (reference :9-34)."""
-    c = (bboxes[..., :2] + bboxes[..., 2:]) * 0.5
-    half = (bboxes[..., 2:] - bboxes[..., :2]) * 0.5 * scale
-    return jnp.concatenate([c - half, c + half], axis=-1)
+# center-scale helper shared with the bucketing coder (reference
+# center_region_assigner.py:9-34 == transforms.py bbox_rescale)
+from .box_coder import bbox_rescale as scale_boxes  # noqa: E402
 
 
 def center_region_assign(

@@ -105,7 +105,11 @@ def iou_balanced_neg_masks(
 
     # num_expected may be a traced scalar (CombinedSampler quota arithmetic)
     quota_iou = jnp.floor(num_expected * (1 - floor_fraction)).astype(jnp.int32)
-    max_iou = jnp.where(neg, max_overlaps, -INF).max()
+    # bin edges span to the max IoU over ALL anchors — positives included —
+    # exactly as the reference (sample_via_interval receives the full
+    # assign_result.max_overlaps, iou_balanced_neg_sampler.py:58: the
+    # positives stretch the interval so most negatives land in low bins)
+    max_iou = max_overlaps.max()
     if num_bins >= 2:
         interval = (max_iou - eff_floor) / num_bins
         per_bin = quota_iou // num_bins
@@ -348,6 +352,20 @@ def sample_with(
         return pos_s, neg_s, None
     if sampler_type == "ScoreHLRSampler":
         assert max_fg_score is not None and decoded_boxes is not None
+        # fail fast at trace time on dense anchor sets: the HLR grouping
+        # builds an (N, N) IoU matrix (N^2 * 4 bytes PER IMAGE, vmapped
+        # over the batch) plus a sequential per-group while_loop — the
+        # reference only ever runs nms_match over a few hundred sampled
+        # RoI negatives (score_hlr_sampler.py), not a dense head's anchor
+        # grid.  At N=19k (480x640, A=3) that matrix alone is ~1.5 GB per
+        # image.  Use OHEMSampler (loss-ranked, O(N log N)) or
+        # RandomSampler for dense-scale negative mining.
+        n_anchors = int(neg.shape[0])
+        assert n_anchors <= 8192, (
+            f"ScoreHLRSampler's pairwise-IoU grouping is quadratic in the "
+            f"anchor count (got N={n_anchors}; (N,N) f32 = "
+            f"{n_anchors * n_anchors * 4 / 1e9:.2f} GB per image)"
+        )
         pos_s = pos & (_uniform_ranks(kp, pos) < num_expected_pos)
         neg_s, w = score_hlr_neg_masks(
             kn, neg, max_fg_score, decoded_boxes, quota_neg(pos_s),

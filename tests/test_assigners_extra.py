@@ -80,7 +80,7 @@ def grid_oracle(bboxes, resp, gts, pos_thr, neg_thr, min_pos_iou=0.0,
     num_gts, n = overlaps.shape
     assigned = np.full(n, -1, np.int64)
     if num_gts == 0:
-        return np.zeros(n, np.int64)
+        return np.zeros(n, np.int64), np.zeros(n)
     max_o = overlaps.max(0)
     if isinstance(neg_thr, float):
         assigned[(max_o >= 0) & (max_o <= neg_thr)] = 0
@@ -100,7 +100,9 @@ def grid_oracle(bboxes, resp, gts, pos_thr, neg_thr, min_pos_iou=0.0,
                 assigned[(ov[i] == gt_max[i]) & resp] = i + 1
             elif resp[gt_argmax[i]]:
                 assigned[gt_argmax[i]] = i + 1
-    return assigned
+    # AssignResult carries the masked max recomputed after the resp mask
+    # (grid_assigner.py:118-122)
+    return assigned, max_o2
 
 
 @pytest.mark.parametrize("neg_thr", [0.3, (0.1, 0.3)])
@@ -113,15 +115,17 @@ def test_grid_assign_vs_oracle(neg_thr, gt_max_assign_all, min_pos_iou):
         bboxes = _boxes(rng, n)
         gts = _boxes(rng, g)
         resp = rng.rand(n) < 0.6
-        want = grid_oracle(bboxes, resp, gts, 0.5, neg_thr,
-                           min_pos_iou, gt_max_assign_all)
+        want, want_ov = grid_oracle(bboxes, resp, gts, 0.5, neg_thr,
+                                    min_pos_iou, gt_max_assign_all)
         gts_p, valid = _pad_gts(gts)
-        got, _ = grid_assign(
+        got, got_ov = grid_assign(
             jnp.asarray(bboxes), jnp.asarray(resp), jnp.asarray(gts_p),
             jnp.asarray(valid), pos_iou_thr=0.5, neg_iou_thr=neg_thr,
             min_pos_iou=min_pos_iou, gt_max_assign_all=gt_max_assign_all,
         )
         np.testing.assert_array_equal(np.asarray(got), want, err_msg=str(trial))
+        np.testing.assert_allclose(np.asarray(got_ov), want_ov, atol=1e-6,
+                                   err_msg=f"masked max_overlaps {trial}")
 
 
 def test_grid_assign_no_gt_all_background():

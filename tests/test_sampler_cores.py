@@ -102,7 +102,8 @@ def iou_balanced_counts_oracle(neg, max_overlaps, num_expected, floor_thr,
         eff_floor = 0.0
     quota_iou = int(num_expected * (1 - floor_fraction))
     if iou_set.sum() > quota_iou and num_bins >= 2:
-        max_iou = ov[neg].max()
+        # reference sample_via_interval: max over ALL anchors (:58)
+        max_iou = ov.max()
         interval = (max_iou - eff_floor) / num_bins
         per_bin = int(quota_iou / num_bins)
         bin_counts = []
